@@ -1,0 +1,17 @@
+import os
+
+# Must run before jax is imported anywhere: force CPU with 8 virtual
+# devices so multi-chip sharding tests run without a TPU pod (the
+# analogue of the reference's comm_single / --partition testing modes,
+# reference lib/comm_single.cpp, tests/test_util.cpp).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize force-registers a TPU backend and wins
+# over the env var, so also set the config knob explicitly.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,143 @@
+"""Core tests: gamma algebra, parity layout, plaquette, Wilson dslash vs
+the NumPy site-loop oracle (mirrors reference tests/dslash_test.cpp)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quda_qkxtm_multigrid_tpu.lattice import Geometry, split_parity, join_parity
+from quda_qkxtm_multigrid_tpu import fields
+from quda_qkxtm_multigrid_tpu.ops import gamma as g
+from quda_qkxtm_multigrid_tpu.ops import dslash as dsl
+from quda_qkxtm_multigrid_tpu.ops.gauge import plaquette
+from quda_qkxtm_multigrid_tpu.utils import rng
+
+from tests.oracles import numpy_lattice as oracle
+
+GEOM = Geometry(4, 4, 4, 8)
+
+
+def _rand_fields(seed=0, geom=GEOM):
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    u = rng.random_gauge(k1, geom)
+    psi = rng.random_spinor(k2, geom)
+    return u, psi
+
+
+class TestGamma:
+    def test_clifford(self):
+        for mu in range(4):
+            for nu in range(4):
+                anti = g.GAMMA[mu] @ g.GAMMA[nu] + g.GAMMA[nu] @ g.GAMMA[mu]
+                np.testing.assert_allclose(anti, 2 * (mu == nu) * np.eye(4), atol=1e-14)
+
+    def test_hermitian(self):
+        for mu in range(4):
+            np.testing.assert_allclose(g.GAMMA[mu], g.GAMMA[mu].conj().T, atol=1e-14)
+
+    def test_gamma5(self):
+        np.testing.assert_allclose(g.GAMMA5, np.diag([1, 1, -1, -1]), atol=1e-14)
+
+    def test_projectors_match_reference_table(self):
+        # spot-check PROJ[0,0] against the reference's projector[0]
+        # (tests/wilson_dslash_reference.cpp:22-27)
+        expect = np.array([[1, 0, 0, -1j], [0, 1, -1j, 0], [0, 1j, 1, 0], [1j, 0, 0, 1]])
+        np.testing.assert_allclose(g.PROJ[0, 0], expect, atol=1e-14)
+
+
+class TestLayout:
+    def test_split_join_roundtrip(self):
+        full = np.random.RandomState(0).randn(GEOM.T, GEOM.Z, GEOM.Y, GEOM.X, 4, 3)
+        s = split_parity(jnp.asarray(full))
+        back = join_parity(s)
+        np.testing.assert_allclose(np.asarray(back), full)
+
+    def test_split_parity_semantics(self):
+        # split[p,t,z,y,k] == full[t,z,y, 2k+(p+t+z+y)%2]
+        full = np.arange(GEOM.volume).reshape(GEOM.T, GEOM.Z, GEOM.Y, GEOM.X).astype(float)
+        s = np.asarray(split_parity(jnp.asarray(full)))
+        for p in range(2):
+            for t in range(GEOM.T):
+                for zz in range(GEOM.Z):
+                    for y in range(GEOM.Y):
+                        for k in range(GEOM.X // 2):
+                            x = 2 * k + (p + t + zz + y) % 2
+                            assert s[p, t, zz, y, k] == full[t, zz, y, x]
+
+    def test_point_source(self):
+        src = fields.point_source(GEOM, (1, 2, 3, 5), spin=2, color=1)
+        full = np.asarray(fields.spinor_to_full(src))
+        assert full[5, 3, 2, 1, 2, 1] == 1.0
+        assert np.sum(np.abs(full)) == 1.0
+
+
+class TestGauge:
+    def test_random_su3_unitary(self):
+        u = rng.random_su3(jax.random.PRNGKey(1), (10,))
+        un = np.asarray(u)
+        np.testing.assert_allclose(un @ un.conj().transpose(0, 2, 1),
+                                   np.broadcast_to(np.eye(3), (10, 3, 3)), atol=1e-12)
+        np.testing.assert_allclose(np.linalg.det(un), np.ones(10), atol=1e-12)
+
+    def test_unit_gauge_plaquette(self):
+        u = rng.unit_gauge(GEOM)
+        total, sp, tm = plaquette(u, GEOM)
+        assert np.allclose([total, sp, tm], 1.0)
+
+    def test_plaquette_vs_oracle(self):
+        u, _ = _rand_fields(2)
+        u_full = np.asarray(fields.gauge_to_full(u))
+        ref = oracle.plaquette_full(u_full)
+        got = plaquette(u, GEOM)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
+
+
+class TestDslash:
+    @pytest.mark.parametrize("dagger", [False, True])
+    @pytest.mark.parametrize("parity", [0, 1])
+    def test_dslash_vs_oracle(self, parity, dagger):
+        u, psi = _rand_fields(3)
+        u_full = np.asarray(fields.gauge_to_full(u))
+        psi_full = np.asarray(fields.spinor_to_full(psi))
+        ref_full = oracle.dslash_full(u_full, psi_full, dagger)
+        ref = np.asarray(split_parity(jnp.asarray(ref_full)))[parity]
+        got = dsl.dslash_parity(u, psi[1 - parity], parity, GEOM, dagger)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-11)
+
+    def test_wilson_mat_vs_oracle(self):
+        u, psi = _rand_fields(4)
+        kappa = 0.124
+        u_full = np.asarray(fields.gauge_to_full(u))
+        psi_full = np.asarray(fields.spinor_to_full(psi))
+        ref = oracle.wilson_mat_full(u_full, psi_full, kappa)
+        got = fields.spinor_to_full(dsl.wilson_mat(u, psi, kappa, GEOM))
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-11)
+
+    def test_matpc_consistent_with_full(self):
+        # M_pc psi_e = psi_e - k^2 D_eo D_oe psi_e
+        u, psi = _rand_fields(5)
+        kappa = 0.13
+        tmp = dsl.dslash_parity(u, psi[0], 1, GEOM)
+        ref = psi[0] - kappa ** 2 * dsl.dslash_parity(u, tmp, 0, GEOM)
+        got = dsl.wilson_matpc(u, psi[0], kappa, GEOM, parity=0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
+
+    def test_dagger_is_adjoint(self):
+        u, psi = _rand_fields(6)
+        _, chi = _rand_fields(7)
+        kappa = 0.11
+        m_psi = dsl.wilson_mat(u, psi, kappa, GEOM)
+        mdag_chi = dsl.wilson_mat(u, chi, kappa, GEOM, dagger=True)
+        lhs = jnp.vdot(chi, m_psi)
+        rhs = jnp.vdot(mdag_chi, psi)
+        np.testing.assert_allclose(complex(lhs), complex(rhs), rtol=1e-12)
+
+    def test_gamma5_hermiticity(self):
+        # gamma5 M gamma5 = M^dagger for Wilson
+        u, psi = _rand_fields(8)
+        kappa = 0.12
+        lhs = g.apply_gamma5(dsl.wilson_mat(u, g.apply_gamma5(psi), kappa, GEOM))
+        rhs = dsl.wilson_mat(u, psi, kappa, GEOM, dagger=True)
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-11)
