@@ -1,0 +1,193 @@
+"""Dirac operator layer: the analogue of the reference's Dirac class
+hierarchy (reference include/dirac_quda.h:88-720, lib/dirac*.cpp).
+
+A `Dirac` bundles the gauge (and clover) fields with static operator
+parameters and exposes:
+  m / mdag / mdagm            — the full even+odd operator
+  matpc / matpc_dag / matpc_dagm — even-odd (Schur) preconditioned op
+  prepare / reconstruct       — source prep & solution rebuild
+                                (reference dirac_quda.h:132-143)
+
+Operator kinds and conventions (kappa normalisation):
+  wilson:          M = ψ − κ D ψ
+  twisted-mass:    M = (1 + i 2κμ f γ5) ψ − κ D ψ
+  clover:          M = A ψ − κ D ψ,  A = 1 − (κ c_sw /2?) … see ops/clover
+  twisted-clover:  M = (A + i 2κμ f γ5) ψ − κ D ψ
+matching the reference CPU oracles wil_mat/tm_mat/clover_mat/tmc_mat
+(reference tests/wilson_dslash_reference.cpp:295-330,
+tests/clover_reference.cpp:149-282).
+
+Even-odd preconditioning (parity p = solve parity):
+  symmetric:  M_pc = 1 − κ² A_p⁻¹ D_{p,1-p} A_{1-p}⁻¹ D_{1-p,p}
+  asymmetric: M_pc = A_p − κ² D_{p,1-p} A_{1-p}⁻¹ D_{1-p,p}
+  prepare:    src = [A_p⁻¹](b_p + κ D_{p,1-p} A_{1-p}⁻¹ b_{1-p})
+  reconstruct: x_{1-p} = A_{1-p}⁻¹ (b_{1-p} + κ D_{1-p,p} x_p)
+(reference tm_matpc, tests/wilson_dslash_reference.cpp:357-404;
+ DiracTwistedCloverPC, include/dirac_quda.h:580-617).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from quda_qkxtm_multigrid_tpu.lattice import Geometry
+from quda_qkxtm_multigrid_tpu.ops import dslash as _dsl
+from quda_qkxtm_multigrid_tpu.ops import twist as _twist
+
+
+@dataclasses.dataclass(frozen=True)
+class DiracParams:
+    """Static operator parameters (the role of QudaInvertParam's operator
+    fields, reference include/quda.h:86)."""
+
+    kind: str = "wilson"        # wilson | twisted-mass | clover | twisted-clover
+    kappa: float = 0.12
+    mu: float = 0.0             # twisted mass
+    epsilon: float = 0.0        # non-degenerate twist splitting
+    csw: float = 0.0            # clover coefficient
+    flavor: int = +1            # twist sign (TWIST_PLUS / TWIST_MINUS)
+    matpc_parity: int = 0       # 0 = even-even, 1 = odd-odd
+    asymmetric: bool = False    # asymmetric Schur variant
+
+    @property
+    def has_twist(self) -> bool:
+        return self.kind in ("twisted-mass", "twisted-clover")
+
+    @property
+    def has_clover(self) -> bool:
+        return self.kind in ("clover", "twisted-clover")
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["u", "clover", "clover_inv"],
+         meta_fields=["params", "geom"])
+@dataclasses.dataclass(frozen=True)
+class Dirac:
+    """Operator bundle: fields + params. A pytree, so it passes through
+    jit/grad/shard_map transparently."""
+
+    u: Any                      # gauge [4,2,T,Z,Y,X/2,3,3]
+    params: DiracParams
+    geom: Geometry
+    clover: Optional[Any] = None      # [2,2,T,Z,Y,X/2,6,6] (parity, chirality)
+    clover_inv: Optional[Any] = None  # inverse incl. twist for tmc PC
+
+    # ---- hopping ----------------------------------------------------
+    def dslash(self, psi_opp, parity: int, dagger: bool = False):
+        return _dsl.dslash_parity(self.u, psi_opp, parity, self.geom, dagger)
+
+    # ---- parity-diagonal term A ------------------------------------
+    def a_apply(self, psi_p, parity: int, dagger: bool = False):
+        p = self.params
+        out = psi_p
+        if p.has_clover:
+            from quda_qkxtm_multigrid_tpu.ops import clover as _cl
+            out = _cl.clover_apply(self.clover[parity], out)
+        if p.has_twist:
+            if p.has_clover:
+                # twisted-clover: A + i 2κμ γ5 (twist added to clover result)
+                out = out + (_twist.twist_apply(psi_p, p.kappa, p.mu, p.flavor,
+                                                dagger) - psi_p)
+            else:
+                out = _twist.twist_apply(out, p.kappa, p.mu, p.flavor, dagger)
+        elif p.has_clover and dagger:
+            pass  # clover term is hermitian
+        return out
+
+    def a_inv_apply(self, psi_p, parity: int, dagger: bool = False):
+        p = self.params
+        if p.has_clover:
+            from quda_qkxtm_multigrid_tpu.ops import clover as _cl
+            return _cl.clover_apply(self.clover_inv[parity], psi_p,
+                                    dagger=dagger)
+        if p.has_twist:
+            return _twist.twist_apply(psi_p, p.kappa, p.mu, p.flavor,
+                                      dagger, inverse=True)
+        return psi_p
+
+    # ---- full operator ----------------------------------------------
+    def m(self, psi, dagger: bool = False):
+        k = self.params.kappa
+        out_e = self.a_apply(psi[0], 0, dagger) - k * self.dslash(psi[1], 0, dagger)
+        out_o = self.a_apply(psi[1], 1, dagger) - k * self.dslash(psi[0], 1, dagger)
+        return jnp.stack([out_e, out_o])
+
+    def mdag(self, psi):
+        return self.m(psi, dagger=True)
+
+    def mdagm(self, psi):
+        return self.mdag(self.m(psi))
+
+    # ---- even-odd preconditioned operator ----------------------------
+    def matpc(self, psi_p, dagger: bool = False):
+        p = self.params
+        pr, k = p.matpc_parity, p.kappa
+        if p.asymmetric:
+            t = self.dslash(psi_p, 1 - pr, dagger)
+            t = self.a_inv_apply(t, 1 - pr, dagger)
+            t = self.dslash(t, pr, dagger)
+            return self.a_apply(psi_p, pr, dagger) - (k * k) * t
+        if not dagger:
+            t = self.dslash(psi_p, 1 - pr)
+            t = self.a_inv_apply(t, 1 - pr)
+            t = self.dslash(t, pr)
+            return psi_p - (k * k) * self.a_inv_apply(t, pr)
+        else:
+            t = self.a_inv_apply(psi_p, pr, dagger=True)
+            t = self.dslash(t, 1 - pr, dagger=True)
+            t = self.a_inv_apply(t, 1 - pr, dagger=True)
+            t = self.dslash(t, pr, dagger=True)
+            return psi_p - (k * k) * t
+
+    def matpc_dagm(self, psi_p):
+        return self.matpc(self.matpc(psi_p), dagger=True)
+
+    # ---- Schur source prep / solution rebuild ------------------------
+    def prepare(self, b):
+        """b [2,...] → preconditioned-system source on the solve parity."""
+        p = self.params
+        pr, k = p.matpc_parity, p.kappa
+        src = b[pr] + k * self.dslash(self.a_inv_apply(b[1 - pr], 1 - pr), pr)
+        if not p.asymmetric:
+            src = self.a_inv_apply(src, pr)
+        return src
+
+    def reconstruct(self, x_p, b):
+        """Solve-parity solution + original source → full solution."""
+        p = self.params
+        pr, k = p.matpc_parity, p.kappa
+        x_other = self.a_inv_apply(b[1 - pr] + k * self.dslash(x_p, 1 - pr),
+                                   1 - pr)
+        parts = [None, None]
+        parts[pr] = x_p
+        parts[1 - pr] = x_other
+        return jnp.stack(parts)
+
+    # ---- bookkeeping --------------------------------------------------
+    def flops_per_mat(self) -> int:
+        """Analytic flops of one full-operator application
+        (reference lib/dirac_wilson.cpp:60, dirac_clover.cpp:76)."""
+        per_site = _dsl.WILSON_DSLASH_FLOPS_PER_SITE
+        extra = 0
+        if self.params.has_twist:
+            extra += 48
+        if self.params.has_clover:
+            extra += 504
+        return (per_site + 48 + extra) * self.geom.volume
+
+
+def make_dirac(u, params: DiracParams, geom: Geometry,
+               clover=None, clover_inv=None) -> Dirac:
+    """Factory, the analogue of Dirac::create (reference lib/dirac.cpp:140).
+    For clover kinds, builds the clover term from the field strength if not
+    supplied."""
+    if params.has_clover and clover is None:
+        from quda_qkxtm_multigrid_tpu.ops import clover as _cl
+        clover, clover_inv = _cl.make_clover_pair(u, geom, params)
+    return Dirac(u=u, params=params, geom=geom, clover=clover,
+                 clover_inv=clover_inv)

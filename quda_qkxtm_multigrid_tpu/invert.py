@@ -1,0 +1,53 @@
+"""High-level solve driver — the analogue of invertQuda
+(reference lib/interface_quda.cpp:2276).
+
+Workflow (mirrors reference :2300-2500): factorise the solve
+(even-odd preconditioned normal equations), prepare the Schur source,
+run the Krylov solver, reconstruct the full-lattice solution, and
+report the true residual computed with the full operator in the
+source's precision (the role of invert_test.cpp's CPU-double residual
+check, reference tests/invert_test.cpp:419-449).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from quda_qkxtm_multigrid_tpu.dirac import Dirac
+from quda_qkxtm_multigrid_tpu.solvers.cg import cg, cg_mixed
+
+
+class InvertResult(NamedTuple):
+    x: jax.Array          # full solution [2,T,Z,Y,X/2,4,3]
+    iters: jax.Array
+    true_res: jax.Array   # |M x − b| / |b|
+
+
+def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
+           solver: str = "cg", sloppy_dirac: Dirac | None = None,
+           inner_tol: float = 1e-2) -> InvertResult:
+    """Solve M x = b via CG on the even-odd preconditioned normal
+    equations M_pc† M_pc x_p = M_pc† src (QUDA_NORMOP_PC_SOLVE)."""
+    src = dirac.prepare(b)
+    rhs = dirac.matpc(src, dagger=True)
+
+    if solver == "cg":
+        res = cg(dirac.matpc_dagm, rhs, tol=tol, maxiter=maxiter)
+    elif solver == "cg-mixed":
+        if sloppy_dirac is None:
+            lo = jnp.complex64
+            sloppy_dirac = jax.tree.map(
+                lambda a: a.astype(lo) if hasattr(a, "dtype") and
+                jnp.issubdtype(a.dtype, jnp.complexfloating) else a, dirac)
+        res = cg_mixed(dirac.matpc_dagm, sloppy_dirac.matpc_dagm, rhs,
+                       tol=tol, maxiter=maxiter, inner_tol=inner_tol)
+    else:
+        raise ValueError(f"unknown solver {solver}")
+
+    x = dirac.reconstruct(res.x, b)
+    r = b - dirac.m(x)
+    true_res = jnp.sqrt(jnp.real(jnp.vdot(r, r)) / jnp.real(jnp.vdot(b, b)))
+    return InvertResult(x, res.iters, true_res)

@@ -22,6 +22,17 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import jax.lax as _lax
+
+
+def _einsum(*args, **kw):
+    """einsum pinned to HIGHEST precision: on TPU the default lowers 3x3
+    SU(3)/spin contractions to bf16 MXU passes, flooring solver residuals
+    at ~1e-3.  bf16 compute is an explicit sloppy-field choice, never an
+    implicit one."""
+    kw.setdefault("precision", _lax.Precision.HIGHEST)
+    return jnp.einsum(*args, **kw)
+
 from quda_qkxtm_multigrid_tpu.lattice import Geometry, gather_neighbor
 from quda_qkxtm_multigrid_tpu.ops import gamma as _g
 
@@ -31,16 +42,16 @@ WILSON_DSLASH_FLOPS_PER_SITE = 1320
 def _proj(mu: int, plus: bool, psi):
     """Apply (1 ± gamma_mu) to spinor [..., 4, 3]."""
     p = jnp.asarray(_g.PROJ[mu, 1 if plus else 0], dtype=psi.dtype)
-    return jnp.einsum("st,...tc->...sc", p, psi)
+    return _einsum("st,...tc->...sc", p, psi)
 
 
 def _su3(u, psi):
     """U psi over color: u [..., 3, 3], psi [..., 4, 3]."""
-    return jnp.einsum("...ab,...sb->...sa", u, psi)
+    return _einsum("...ab,...sb->...sa", u, psi)
 
 
 def _su3_dag(u, psi):
-    return jnp.einsum("...ba,...sb->...sa", jnp.conj(u), psi)
+    return _einsum("...ba,...sb->...sa", jnp.conj(u), psi)
 
 
 def dslash_parity(u, psi_opp, parity: int, geom: Geometry, dagger: bool = False):

@@ -58,6 +58,8 @@ def apply_gamma5(psi):
 
 def apply_gamma(mu: int, psi):
     import jax.numpy as jnp
+    import jax.lax as _lax
 
     g = jnp.asarray(GAMMA[mu], dtype=psi.dtype)
-    return jnp.einsum("st,...tc->...sc", g, psi)
+    return jnp.einsum("st,...tc->...sc", g, psi,
+                      precision=_lax.Precision.HIGHEST)

@@ -11,11 +11,22 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import jax.lax as _lax
+
+
+def _einsum(*args, **kw):
+    """einsum pinned to HIGHEST precision: on TPU the default lowers 3x3
+    SU(3)/spin contractions to bf16 MXU passes, flooring solver residuals
+    at ~1e-3.  bf16 compute is an explicit sloppy-field choice, never an
+    implicit one."""
+    kw.setdefault("precision", _lax.Precision.HIGHEST)
+    return jnp.einsum(*args, **kw)
+
 from quda_qkxtm_multigrid_tpu.lattice import Geometry, gather_neighbor
 
 
 def _mm(a, b):
-    return jnp.einsum("...ab,...bc->...ac", a, b)
+    return _einsum("...ab,...bc->...ac", a, b)
 
 
 def plaquette(u, geom: Geometry):
