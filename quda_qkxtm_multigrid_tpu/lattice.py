@@ -1,17 +1,37 @@
-"""Lattice geometry and even-odd (checkerboard) indexing.
+"""Lattice geometry and even-odd (checkerboard) indexing — TPU-native layout.
 
-The 4D lattice has dimensions (X, Y, Z, T); arrays are stored with axis
-order [T, Z, Y, X(/2), ...] so that X is fastest-varying, matching the
-reference's lexicographic site index ``x + X*(y + Y*(z + Z*t))``
-(reference lib/color_spinor_field.cpp, tests/wilson_dslash_reference.cpp:107).
+**Canonical storage layout (lane-major).**  TPU arrays are tiled on their
+last two axes (sublane x lane = 8 x 128 for f32); any stored array whose
+trailing axes are small (spin=4, color=3) pays a 40-100x padding tax when
+XLA materialises it at a loop boundary.  So the canonical layout puts the
+*lattice* on the trailing axes and spin/color in front:
 
-Parity (checkerboard color) of a site is ``(x+y+z+t) % 2``; parity-split
-arrays store only sites of one parity with the X axis halved:
-``split[p, t, z, y, k] = full[t, z, y, 2k + (p + t+z+y) % 2]``.
+    spinor  [2(parity), 4(spin), 3(color), T, Z, W]
+    gauge   [4(mu), 2(parity), 3, 3, T, Z, W]
+    clover  [2(parity), 2(chirality), 6, 6, T, Z, W]
 
-Direction index ``mu`` follows the reference: 0=x, 1=y, 2=z, 3=t
-(reference tests/wilson_dslash_reference.cpp gaugeLink dir/2 mapping),
-so lattice array axis for mu is ``3 - mu``.
+with ``W = Y * X/2`` — the y and checkerboard-x dimensions merged into a
+single lane axis (W = 288 at 24^3x48: 1.33x padding instead of 42x).
+
+This replaces the reference's FloatN site-ordering machinery
+(reference include/color_spinor_field_order.h:287,
+gauge_field_order.h:635) — same purpose (match the hardware's vector
+layout), different hardware.
+
+**Index conventions.**  Site coords (x,y,z,t), parity = (x+y+z+t) % 2,
+direction mu: 0=x,1=y,2=z,3=t (reference tests/wilson_dslash_reference.cpp).
+Within a parity, checkerboard x-index k = x//2 and the true x coordinate
+is ``2k + (parity + t+z+y) % 2``; the merged lane index is
+``w = y * (X/2) + k``.
+
+**Neighbour gathers** (`gather_neighbor`) are pure rolls on the trailing
+axes plus checkerboard selects for mu=x:
+  t,z : roll on axis -3 / -2
+  y   : roll on axis -1 by X/2  (wrap lands on the same z row — exact)
+  x   : two rolls + two selects using (row-parity, block-edge) masks.
+Under pjit these lower to XLA CollectivePermutes of the wavefront faces,
+replacing the reference's MPI halo pipeline (lib/dslash_pack.cu,
+lib/face_buffer.cpp, lib/comm_mpi.cpp).
 """
 
 from __future__ import annotations
@@ -54,94 +74,136 @@ class Geometry:
         return self.volume // 2
 
     @property
-    def cb_shape(self) -> tuple[int, int, int, int]:
-        """Shape of the lattice axes of a single-parity array."""
-        return (self.T, self.Z, self.Y, self.X // 2)
+    def Xh(self) -> int:
+        return self.X // 2
 
     @property
-    def full_shape(self) -> tuple[int, int, int, int]:
-        return (self.T, self.Z, self.Y, self.X)
+    def W(self) -> int:
+        """Merged lane axis: y * Xh + k."""
+        return self.Y * self.Xh
 
+    @property
+    def lat_shape(self) -> tuple[int, int, int]:
+        """Trailing lattice axes of every canonical array."""
+        return (self.T, self.Z, self.W)
+
+    @property
+    def cb4_shape(self) -> tuple[int, int, int, int]:
+        """Unmerged single-parity shape [T, Z, Y, Xh] (conversion helper)."""
+        return (self.T, self.Z, self.Y, self.Xh)
+
+    # ---- checkerboard masks (numpy constants, folded by XLA) ----------
     @functools.lru_cache(maxsize=None)
-    def row_parity(self) -> np.ndarray:
-        """(T, Z, Y, 1) int array r = (t+z+y) % 2.
-
-        A site on parity ``p`` at checkerboard x-index ``k`` has true x
-        coordinate ``2k + (p + r) % 2``.
-        """
-        t = np.arange(self.T).reshape(-1, 1, 1, 1)
-        z = np.arange(self.Z).reshape(1, -1, 1, 1)
-        y = np.arange(self.Y).reshape(1, 1, -1, 1)
-        return (t + z + y) % 2
-
-    def x_is_even_mask(self, parity: int, trailing_ndim: int) -> np.ndarray:
-        """Boolean mask (broadcastable over a parity array with
-        ``trailing_ndim`` non-lattice trailing axes) that is True where
-        the site's true x coordinate is even."""
-        r = self.row_parity()
-        mask = ((r + parity) % 2 == 0)
-        return mask.reshape(mask.shape + (1,) * trailing_ndim)
+    def _x_masks(self, parity: int):
+        """(s0, k_first, k_last): s0[T,Z,W] true where the site's true x
+        coordinate is even; k_first/k_last[W] true at checkerboard block
+        edges."""
+        t = np.arange(self.T).reshape(-1, 1, 1)
+        z = np.arange(self.Z).reshape(1, -1, 1)
+        w = np.arange(self.W).reshape(1, 1, -1)
+        y = w // self.Xh
+        k = w % self.Xh
+        s0 = ((t + z + y + parity) % 2 == 0)
+        k_first = (k == 0)
+        k_last = (k == self.Xh - 1)
+        return (np.broadcast_to(s0, (self.T, self.Z, self.W)),
+                np.broadcast_to(k_first, (1, 1, self.W)),
+                np.broadcast_to(k_last, (1, 1, self.W)))
 
 
-def axis_of_mu(mu: int) -> int:
-    """Lattice array axis (in [T,Z,Y,X] order) for direction mu."""
-    return 3 - mu
+def gather_neighbor(f, mu: int, forward: bool, parity: int, geom: Geometry):
+    """Gather psi(x ± mu) for every site x of ``parity``.
 
-
-def gather_neighbor(f_opp, mu: int, forward: bool, parity: int, geom: Geometry):
-    """Gather ψ(x ± mu) for every site x of ``parity``.
-
-    ``f_opp`` lives on the opposite parity (any trailing shape); returns
-    an array of the same shape aligned with sites of ``parity``.
-
-    For mu in {y,z,t} this is a plain circular shift.  For mu = x the
-    checkerboard halves the axis: the +x neighbour of an even-x site sits
-    at the same checkerboard index, of an odd-x site at index+1 (and
-    mirrored for −x).  This reproduces the reference's neighborIndex
-    checkerboard arithmetic (reference tests/dslash_util.h / test_util.cpp
-    neighborIndex) as vectorised rolls + a row-parity select.
-
-    Under pjit with the lattice axes sharded over a mesh, XLA lowers the
-    roll wavefront into a collective-permute of the face slice — the
-    TPU-native replacement of the reference's MPI face exchange
-    (lib/face_buffer.cpp, lib/dslash_pack.cu).
+    ``f`` lives on the opposite parity, any leading axes, trailing axes
+    [T, Z, W].  Returns same shape, aligned with sites of ``parity``.
     """
-    axis = axis_of_mu(mu)
-    shift = -1 if forward else 1
-    if mu != 0:
-        return jnp.roll(f_opp, shift, axis=axis)
-    trailing = f_opp.ndim - 4
-    even_x = jnp.asarray(geom.x_is_even_mask(parity, trailing))
-    rolled = jnp.roll(f_opp, shift, axis=axis)
+    if mu == 3:                      # t
+        return jnp.roll(f, -1 if forward else 1, axis=-3)
+    if mu == 2:                      # z
+        return jnp.roll(f, -1 if forward else 1, axis=-2)
+    if mu == 1:                      # y: merged-axis roll by Xh is exact
+        return jnp.roll(f, -geom.Xh if forward else geom.Xh, axis=-1)
+    # mu == 0: x with checkerboard halving
+    s0, k_first, k_last = geom._x_masks(parity)
+    lead = (1,) * (f.ndim - 3)
+    s0 = jnp.asarray(s0.reshape(lead + s0.shape))
     if forward:
-        # even x: neighbour (x+1, odd) has same cb index; odd x: index+1
-        return jnp.where(even_x, f_opp, rolled)
+        # true x even (s0): +x neighbour at same k; odd: k+1 (wrap in block)
+        k_last = jnp.asarray(k_last.reshape(lead + k_last.shape))
+        fwd_odd = jnp.where(k_last, jnp.roll(f, geom.Xh - 1, axis=-1),
+                            jnp.roll(f, -1, axis=-1))
+        return jnp.where(s0, f, fwd_odd)
     else:
-        # even x: neighbour (x-1) at cb index-1 (roll +1); odd x: same index
-        return jnp.where(even_x, rolled, f_opp)
+        # true x even: -x neighbour at k-1 (wrap); odd: same k
+        k_first = jnp.asarray(k_first.reshape(lead + k_first.shape))
+        bwd_even = jnp.where(k_first, jnp.roll(f, -(geom.Xh - 1), axis=-1),
+                             jnp.roll(f, 1, axis=-1))
+        return jnp.where(s0, bwd_even, f)
 
 
-def split_parity(full):
+# ---------------------------------------------------------------------
+# Layout conversions (I/O + test-oracle tier, not hot paths)
+# ---------------------------------------------------------------------
+
+def _split_parity_sites(full):
     """[T, Z, Y, X, ...] → [2, T, Z, Y, X/2, ...] (even, odd)."""
     T, Z, Y, X = full.shape[:4]
     trailing = full.shape[4:]
-    geom = Geometry(X, Y, Z, T)
     pairs = full.reshape(T, Z, Y, X // 2, 2, *trailing)
-    r = jnp.asarray(geom.row_parity().reshape((T, Z, Y, 1) + (1,) * len(trailing)))
+    t = np.arange(T).reshape(-1, 1, 1, 1)
+    z = np.arange(Z).reshape(1, -1, 1, 1)
+    y = np.arange(Y).reshape(1, 1, -1, 1)
+    r = jnp.asarray(((t + z + y) % 2).reshape((T, Z, Y, 1) + (1,) * len(trailing)))
     even = jnp.where(r == 0, pairs[:, :, :, :, 0], pairs[:, :, :, :, 1])
     odd = jnp.where(r == 0, pairs[:, :, :, :, 1], pairs[:, :, :, :, 0])
     return jnp.stack([even, odd], axis=0)
 
 
-def join_parity(split):
+def _join_parity_sites(split):
     """[2, T, Z, Y, X/2, ...] → [T, Z, Y, X, ...]."""
     two, T, Z, Y, Xh = split.shape[:5]
     assert two == 2
     trailing = split.shape[5:]
-    geom = Geometry(2 * Xh, Y, Z, T)
-    r = jnp.asarray(geom.row_parity().reshape((T, Z, Y, 1) + (1,) * len(trailing)))
+    t = np.arange(T).reshape(-1, 1, 1, 1)
+    z = np.arange(Z).reshape(1, -1, 1, 1)
+    y = np.arange(Y).reshape(1, 1, -1, 1)
+    r = jnp.asarray(((t + z + y) % 2).reshape((T, Z, Y, 1) + (1,) * len(trailing)))
     even, odd = split[0], split[1]
-    slot0 = jnp.where(r == 0, even, odd)   # x even positions
-    slot1 = jnp.where(r == 0, odd, even)   # x odd positions
+    slot0 = jnp.where(r == 0, even, odd)
+    slot1 = jnp.where(r == 0, odd, even)
     pairs = jnp.stack([slot0, slot1], axis=4)
     return pairs.reshape(T, Z, Y, 2 * Xh, *trailing)
+
+
+def spinor_to_lex(psi, geom: Geometry):
+    """canonical [2,4,3,T,Z,W] → lexicographic [T,Z,Y,X,4,3]."""
+    p = psi.reshape((2, 4, 3) + geom.cb4_shape)
+    p = jnp.moveaxis(p, (1, 2), (5, 6))       # [2,T,Z,Y,Xh,4,3]
+    return _join_parity_sites(p)
+
+
+def spinor_from_lex(full, geom: Geometry):
+    """[T,Z,Y,X,4,3] → canonical [2,4,3,T,Z,W]."""
+    s = _split_parity_sites(full)             # [2,T,Z,Y,Xh,4,3]
+    s = jnp.moveaxis(s, (5, 6), (1, 2))       # [2,4,3,T,Z,Y,Xh]
+    return s.reshape((2, 4, 3) + geom.lat_shape)
+
+
+def gauge_to_lex(u, geom: Geometry):
+    """canonical [4,2,3,3,T,Z,W] → lexicographic [4,T,Z,Y,X,3,3]."""
+    g = u.reshape((4, 2, 3, 3) + geom.cb4_shape)
+    g = jnp.moveaxis(g, (2, 3), (6, 7))       # [4,2,T,Z,Y,Xh,3,3]
+    return jnp.stack([_join_parity_sites(g[mu]) for mu in range(4)])
+
+
+def gauge_from_lex(full, geom: Geometry):
+    s = jnp.stack([_split_parity_sites(full[mu]) for mu in range(4)])
+    s = jnp.moveaxis(s, (6, 7), (2, 3))       # [4,2,3,3,T,Z,Y,Xh]
+    return s.reshape((4, 2, 3, 3) + geom.lat_shape)
+
+
+def site_index(geom: Geometry, coords):
+    """(x,y,z,t) → (parity, t, z, w) canonical indices."""
+    x, y, z, t = coords
+    p = (x + y + z + t) % 2
+    return p, t, z, y * geom.Xh + x // 2

@@ -49,17 +49,23 @@ for g in range(16):
 
 
 def apply_gamma5(psi):
-    """gamma5 psi for a spinor array [..., 4, 3] (diagonal in DR basis)."""
+    """gamma5 psi for a canonical spinor [..., 4, 3, T, Z, W] (spin at
+    axis -5; diagonal in DR basis)."""
     import jax.numpy as jnp
 
-    sign = jnp.asarray([1.0, 1.0, -1.0, -1.0], dtype=psi.dtype)
-    return psi * sign[:, None]
+    rdt = jnp.float64 if psi.dtype == jnp.complex128 else jnp.float32
+    sign = jnp.asarray([1.0, 1.0, -1.0, -1.0], dtype=rdt).reshape(4, 1, 1, 1, 1)
+    return psi * sign
 
 
-def apply_gamma(mu: int, psi):
+def apply_gamma(mu_or_matrix, psi):
+    """Apply a 4x4 spin matrix (index into GAMMA, or an explicit matrix)
+    over the leading spin axis of [..., 4, 3, T, Z, W]."""
     import jax.numpy as jnp
     import jax.lax as _lax
+    import numpy as np
 
-    g = jnp.asarray(GAMMA[mu], dtype=psi.dtype)
-    return jnp.einsum("st,...tc->...sc", g, psi,
+    m = GAMMA[mu_or_matrix] if isinstance(mu_or_matrix, int) else np.asarray(mu_or_matrix)
+    g = jnp.asarray(m, dtype=psi.dtype)
+    return jnp.einsum("st,...tcxzw->...scxzw", g, psi,
                       precision=_lax.Precision.HIGHEST)

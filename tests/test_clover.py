@@ -6,12 +6,12 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from quda_qkxtm_multigrid_tpu.lattice import Geometry, gather_neighbor
+from quda_qkxtm_multigrid_tpu.lattice import Geometry
 from quda_qkxtm_multigrid_tpu import fields
 from quda_qkxtm_multigrid_tpu.dirac import DiracParams, make_dirac
 from quda_qkxtm_multigrid_tpu.invert import invert
 from quda_qkxtm_multigrid_tpu.ops import clover as cl
-from quda_qkxtm_multigrid_tpu.ops import dslash as dsl
+from quda_qkxtm_multigrid_tpu.ops.gauge import gauge_transform
 from quda_qkxtm_multigrid_tpu.utils import rng
 
 GEOM = Geometry(4, 4, 4, 8)
@@ -21,72 +21,59 @@ def _gauge(seed=0):
     return rng.random_gauge(jax.random.PRNGKey(seed), GEOM)
 
 
-def gauge_transform(u, g, geom):
-    """u'_mu(x) = g(x) U_mu(x) g^dag(x+mu); g parity-split [2,T,Z,Y,Xh,3,3]."""
-    out = []
-    for mu in range(4):
-        per_par = []
-        for p in range(2):
-            g_fwd = gather_neighbor(g[1 - p], mu, True, p, geom)
-            per_par.append(jnp.einsum("...ab,...bc,...dc->...ad",
-                                      g[p], u[mu, p], jnp.conj(g_fwd)))
-        out.append(jnp.stack(per_par))
-    return jnp.stack(out)
-
-
 class TestFieldStrength:
     def test_unit_gauge_zero(self):
-        u = rng.unit_gauge(GEOM)
-        f = cl.field_strength_full(fields.gauge_to_full(u))
+        f = cl.field_strength(rng.unit_gauge(GEOM), GEOM)
         assert float(jnp.max(jnp.abs(f))) < 1e-14
 
     def test_antihermitian(self):
-        f = cl.field_strength_full(fields.gauge_to_full(_gauge(1)))
-        fh = jnp.conj(jnp.swapaxes(f, -1, -2))
+        f = cl.field_strength(_gauge(1), GEOM)   # [6,2,3,3,T,Z,W]
+        fh = jnp.conj(jnp.swapaxes(f, 2, 3))
         np.testing.assert_allclose(np.asarray(f), -np.asarray(fh), atol=1e-13)
 
     def test_gauge_covariance(self):
         """F'(x) = g(x) F(x) g^dag(x) under gauge transformation."""
         u = _gauge(2)
-        g = rng.random_su3(jax.random.PRNGKey(9), (2,) + GEOM.cb_shape)
+        g = jnp.moveaxis(
+            rng.random_su3(jax.random.PRNGKey(9), (2,) + GEOM.lat_shape),
+            (0, 1), (1, 2))                      # [2,3,3,T,Z,W]
         u2 = gauge_transform(u, g, GEOM)
-        f1 = cl.field_strength_full(fields.gauge_to_full(u))
-        f2 = cl.field_strength_full(fields.gauge_to_full(u2))
-        g_full = fields.spinor_to_full(g)  # same parity-join works for [.,3,3]
-        expect = jnp.einsum("...ab,m...bc,...dc->m...ad",
-                            g_full, f1, jnp.conj(g_full))
+        f1 = cl.field_strength(u, GEOM)
+        f2 = cl.field_strength(u2, GEOM)
+        expect = jnp.einsum("pab...,mpbc...,pdc...->mpad...",
+                            g, f1, jnp.conj(g))
         np.testing.assert_allclose(np.asarray(f2), np.asarray(expect),
                                    atol=1e-11)
 
 
 class TestCloverTerm:
     def test_csw_zero_is_identity(self):
-        clov = cl.make_clover(_gauge(3), GEOM, 0.0)
-        eye = np.eye(6)
+        clov = cl.make_clover(_gauge(3), GEOM, 0.0)   # [2,2,6,6,T,Z,W]
+        eye = np.eye(6).reshape(1, 1, 6, 6, 1, 1, 1)
         np.testing.assert_allclose(
             np.asarray(clov), np.broadcast_to(eye, clov.shape), atol=1e-14)
 
     def test_hermitian(self):
         clov = cl.make_clover(_gauge(4), GEOM, 0.2)
         ch = np.asarray(clov)
-        np.testing.assert_allclose(ch, ch.conj().swapaxes(-1, -2), atol=1e-13)
+        np.testing.assert_allclose(ch, ch.conj().swapaxes(2, 3), atol=1e-13)
 
     def test_inverse(self):
         clov = cl.make_clover(_gauge(5), GEOM, 0.15)
         inv = cl.invert_clover(clov)
-        prod = np.asarray(jnp.einsum("...ij,...jk->...ik", clov, inv))
-        np.testing.assert_allclose(
-            prod, np.broadcast_to(np.eye(6), prod.shape), atol=1e-11)
+        prod = np.asarray(jnp.einsum("pcij...,pcjk...->pcik...", clov, inv))
+        eye = np.eye(6).reshape(1, 1, 6, 6, 1, 1, 1)
+        np.testing.assert_allclose(prod, np.broadcast_to(eye, prod.shape),
+                                   atol=1e-11)
 
     def test_apply_matches_matvec(self):
         clov = cl.make_clover(_gauge(6), GEOM, 0.15)
         psi = rng.random_spinor(jax.random.PRNGKey(7), GEOM)
         out = cl.clover_apply(clov[0], psi[0])
-        # manual: chirality blocks
-        chi = np.asarray(psi[0]).reshape(GEOM.cb_shape + (2, 6))
+        chi = np.asarray(psi[0]).reshape((2, 6) + GEOM.lat_shape)
         m = np.asarray(clov[0])
-        expect = np.einsum("c...ij,...cj->...ci", m, chi).reshape(
-            GEOM.cb_shape + (4, 3))
+        expect = np.einsum("cij...,cj...->ci...", m, chi).reshape(
+            (4, 3) + GEOM.lat_shape)
         np.testing.assert_allclose(np.asarray(out), expect, atol=1e-12)
 
 

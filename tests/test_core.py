@@ -1,12 +1,14 @@
-"""Core tests: gamma algebra, parity layout, plaquette, Wilson dslash vs
-the NumPy site-loop oracle (mirrors reference tests/dslash_test.cpp)."""
+"""Core tests: gamma algebra, lane-major layout conversions, plaquette,
+Wilson dslash vs the NumPy site-loop oracle (mirrors reference
+tests/dslash_test.cpp)."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-from quda_qkxtm_multigrid_tpu.lattice import Geometry, split_parity, join_parity
+from quda_qkxtm_multigrid_tpu.lattice import (
+    Geometry, spinor_to_lex, spinor_from_lex, site_index)
 from quda_qkxtm_multigrid_tpu import fields
 from quda_qkxtm_multigrid_tpu.ops import gamma as g
 from quda_qkxtm_multigrid_tpu.ops import dslash as dsl
@@ -48,27 +50,31 @@ class TestGamma:
 
 
 class TestLayout:
-    def test_split_join_roundtrip(self):
+    def test_lex_roundtrip(self):
         full = np.random.RandomState(0).randn(GEOM.T, GEOM.Z, GEOM.Y, GEOM.X, 4, 3)
-        s = split_parity(jnp.asarray(full))
-        back = join_parity(s)
+        s = spinor_from_lex(jnp.asarray(full), GEOM)
+        assert s.shape == (2, 4, 3) + GEOM.lat_shape
+        back = spinor_to_lex(s, GEOM)
         np.testing.assert_allclose(np.asarray(back), full)
 
-    def test_split_parity_semantics(self):
-        # split[p,t,z,y,k] == full[t,z,y, 2k+(p+t+z+y)%2]
-        full = np.arange(GEOM.volume).reshape(GEOM.T, GEOM.Z, GEOM.Y, GEOM.X).astype(float)
-        s = np.asarray(split_parity(jnp.asarray(full)))
-        for p in range(2):
-            for t in range(GEOM.T):
-                for zz in range(GEOM.Z):
-                    for y in range(GEOM.Y):
-                        for k in range(GEOM.X // 2):
-                            x = 2 * k + (p + t + zz + y) % 2
-                            assert s[p, t, zz, y, k] == full[t, zz, y, x]
+    def test_site_index_semantics(self):
+        full = np.random.RandomState(1).randn(GEOM.T, GEOM.Z, GEOM.Y, GEOM.X, 4, 3)
+        s = np.asarray(spinor_from_lex(jnp.asarray(full), GEOM))
+        for coords in [(0, 0, 0, 0), (1, 0, 0, 0), (3, 2, 1, 5), (2, 3, 3, 7)]:
+            x, y, z, t = coords
+            p, ti, zi, w = site_index(GEOM, coords)
+            np.testing.assert_allclose(s[p, :, :, ti, zi, w], full[t, z, y, x])
+
+    def test_gauge_roundtrip(self):
+        full = np.random.RandomState(2).randn(4, GEOM.T, GEOM.Z, GEOM.Y, GEOM.X, 3, 3)
+        s = fields.gauge_from_full(jnp.asarray(full), GEOM)
+        assert s.shape == (4, 2, 3, 3) + GEOM.lat_shape
+        back = fields.gauge_to_full(s, GEOM)
+        np.testing.assert_allclose(np.asarray(back), full)
 
     def test_point_source(self):
         src = fields.point_source(GEOM, (1, 2, 3, 5), spin=2, color=1)
-        full = np.asarray(fields.spinor_to_full(src))
+        full = np.asarray(fields.spinor_to_full(src, GEOM))
         assert full[5, 3, 2, 1, 2, 1] == 1.0
         assert np.sum(np.abs(full)) == 1.0
 
@@ -76,7 +82,7 @@ class TestLayout:
 class TestGauge:
     def test_random_su3_unitary(self):
         u = rng.random_su3(jax.random.PRNGKey(1), (10,))
-        un = np.asarray(u)
+        un = np.moveaxis(np.asarray(u), (0, 1), (1, 2))   # [10,3,3]
         np.testing.assert_allclose(un @ un.conj().transpose(0, 2, 1),
                                    np.broadcast_to(np.eye(3), (10, 3, 3)), atol=1e-12)
         np.testing.assert_allclose(np.linalg.det(un), np.ones(10), atol=1e-12)
@@ -88,7 +94,7 @@ class TestGauge:
 
     def test_plaquette_vs_oracle(self):
         u, _ = _rand_fields(2)
-        u_full = np.asarray(fields.gauge_to_full(u))
+        u_full = np.asarray(fields.gauge_to_full(u, GEOM))
         ref = oracle.plaquette_full(u_full)
         got = plaquette(u, GEOM)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
@@ -99,24 +105,23 @@ class TestDslash:
     @pytest.mark.parametrize("parity", [0, 1])
     def test_dslash_vs_oracle(self, parity, dagger):
         u, psi = _rand_fields(3)
-        u_full = np.asarray(fields.gauge_to_full(u))
-        psi_full = np.asarray(fields.spinor_to_full(psi))
+        u_full = np.asarray(fields.gauge_to_full(u, GEOM))
+        psi_full = np.asarray(fields.spinor_to_full(psi, GEOM))
         ref_full = oracle.dslash_full(u_full, psi_full, dagger)
-        ref = np.asarray(split_parity(jnp.asarray(ref_full)))[parity]
+        ref = np.asarray(spinor_from_lex(jnp.asarray(ref_full), GEOM))[parity]
         got = dsl.dslash_parity(u, psi[1 - parity], parity, GEOM, dagger)
         np.testing.assert_allclose(np.asarray(got), ref, atol=1e-11)
 
     def test_wilson_mat_vs_oracle(self):
         u, psi = _rand_fields(4)
         kappa = 0.124
-        u_full = np.asarray(fields.gauge_to_full(u))
-        psi_full = np.asarray(fields.spinor_to_full(psi))
+        u_full = np.asarray(fields.gauge_to_full(u, GEOM))
+        psi_full = np.asarray(fields.spinor_to_full(psi, GEOM))
         ref = oracle.wilson_mat_full(u_full, psi_full, kappa)
-        got = fields.spinor_to_full(dsl.wilson_mat(u, psi, kappa, GEOM))
+        got = fields.spinor_to_full(dsl.wilson_mat(u, psi, kappa, GEOM), GEOM)
         np.testing.assert_allclose(np.asarray(got), ref, atol=1e-11)
 
     def test_matpc_consistent_with_full(self):
-        # M_pc psi_e = psi_e - k^2 D_eo D_oe psi_e
         u, psi = _rand_fields(5)
         kappa = 0.13
         tmp = dsl.dslash_parity(u, psi[0], 1, GEOM)
@@ -135,7 +140,6 @@ class TestDslash:
         np.testing.assert_allclose(complex(lhs), complex(rhs), rtol=1e-12)
 
     def test_gamma5_hermiticity(self):
-        # gamma5 M gamma5 = M^dagger for Wilson
         u, psi = _rand_fields(8)
         kappa = 0.12
         lhs = g.apply_gamma5(dsl.wilson_mat(u, g.apply_gamma5(psi), kappa, GEOM))

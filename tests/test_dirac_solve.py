@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from quda_qkxtm_multigrid_tpu.lattice import Geometry, split_parity
+from quda_qkxtm_multigrid_tpu.lattice import Geometry
 from quda_qkxtm_multigrid_tpu import fields
 from quda_qkxtm_multigrid_tpu.dirac import Dirac, DiracParams, make_dirac
 from quda_qkxtm_multigrid_tpu.invert import invert
@@ -34,12 +34,12 @@ class TestTwistedMass:
     def test_tm_mat_vs_oracle(self, flavor, dagger):
         d, psi = _setup(1, kind="twisted-mass", kappa=0.12, mu=0.05,
                         flavor=flavor)
-        u_full = np.asarray(fields.gauge_to_full(d.u))
-        psi_full = np.asarray(fields.spinor_to_full(psi))
+        u_full = np.asarray(fields.gauge_to_full(d.u, GEOM))
+        psi_full = np.asarray(fields.spinor_to_full(psi, GEOM))
         # tm_mat: out = twist_direct(in) - kappa*D in (reference tm_mat)
         tw = oracle.twist_full(psi_full, 0.12, 0.05, flavor, dagger)
         ref = tw - 0.12 * oracle.dslash_full(u_full, psi_full, dagger)
-        got = np.asarray(fields.spinor_to_full(d.m(psi, dagger)))
+        got = np.asarray(fields.spinor_to_full(d.m(psi, dagger), GEOM))
         np.testing.assert_allclose(got, ref, atol=1e-11)
 
     def test_twist_inverse(self):

@@ -1,0 +1,63 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh: sharded results
+must match single-device bit-for-bit semantics (the analogue of the
+reference's --partition testing, tests/test_util.cpp)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quda_qkxtm_multigrid_tpu.lattice import Geometry
+from quda_qkxtm_multigrid_tpu import fields
+from quda_qkxtm_multigrid_tpu.dirac import DiracParams, make_dirac
+from quda_qkxtm_multigrid_tpu.invert import invert
+from quda_qkxtm_multigrid_tpu.parallel import (
+    make_lattice_mesh, shard_spinor, shard_gauge)
+from quda_qkxtm_multigrid_tpu.parallel.mesh import shard_dirac
+from quda_qkxtm_multigrid_tpu.ops import dslash as dsl
+from quda_qkxtm_multigrid_tpu.utils import rng
+
+GEOM = Geometry(4, 4, 4, 8)
+
+GRIDS = [(8, 1, 1), (2, 2, 2), (1, 1, 8), (2, 1, 2)]
+GEOM_X = Geometry(4, 8, 4, 8)    # Y=8 -> W divisible by 8 for w-grids
+
+
+def _fields(seed=0, geom=GEOM):
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    return rng.random_gauge(k1, geom), rng.random_spinor(k2, geom)
+
+
+@pytest.mark.parametrize("grid", GRIDS)
+def test_sharded_dslash_matches(grid):
+    geom = GEOM_X if grid[2] > 2 else GEOM
+    u, psi = _fields(0, geom)
+    ref = dsl.dslash_parity(u, psi[1], 0, geom)
+    mesh = make_lattice_mesh(grid)
+    u_s = shard_gauge(u, mesh)
+    psi_s = shard_spinor(psi, mesh)
+    with jax.set_mesh(mesh):
+        got = jax.jit(lambda u, p: dsl.dslash_parity(u, p[1], 0, geom))(u_s, psi_s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-13)
+
+
+@pytest.mark.parametrize("grid", [(2, 2, 2)])
+def test_sharded_invert_matches(grid):
+    u, _ = _fields(1)
+    d = make_dirac(u, DiracParams(kind="twisted-clover", kappa=0.115,
+                                  mu=0.08, csw=1.0), GEOM)
+    b = fields.point_source(GEOM, (0, 0, 0, 0), 0, 0)
+    ref = invert(d, b, tol=1e-10, maxiter=500)
+    mesh = make_lattice_mesh(grid)
+    d_s = shard_dirac(d, mesh)
+    b_s = shard_spinor(b, mesh)
+    with jax.set_mesh(mesh):
+        got = jax.jit(lambda d, b: invert(d, b, tol=1e-10, maxiter=500))(d_s, b_s)
+    assert float(got.true_res) < 1e-8
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), atol=1e-9)
+
+
+def test_mesh_too_large_raises():
+    with pytest.raises(ValueError):
+        make_lattice_mesh((4, 4, 4))
