@@ -69,3 +69,32 @@ def wilson_matpc(u, psi_p, kappa: float, geom: Geometry, parity: int = 0,
 def dslash_flops(geom: Geometry, sites: str = "half") -> int:
     v = geom.half_volume if sites == "half" else geom.volume
     return WILSON_DSLASH_FLOPS_PER_SITE * v
+
+
+def double_gauge(u, geom: Geometry):
+    """Precompute the backward-gathered links once per gauge load:
+    ud[mu, parity, 0] = U_mu(x) and ud[mu, parity, 1] = U_mu(x-mu) for
+    x of ``parity`` — the analogue of QUDA's resident gauge keeping both
+    hop directions addressable (reference lib/cuda_gauge_field.cu).
+    Halves the per-application gather traffic of the XLA shift path."""
+    dirs = []
+    for mu in range(4):
+        per_par = []
+        for p in range(2):
+            per_par.append(jnp.stack(
+                [u[mu, p], gather_neighbor(u[mu, 1 - p], mu, False, p, geom)]))
+        dirs.append(jnp.stack(per_par))
+    return jnp.stack(dirs)          # [4, 2, 2, 3, 3, T, Z, W]
+
+
+def dslash_parity_doubled(ud, psi_opp, parity: int, geom: Geometry,
+                          dagger: bool = False):
+    """dslash_parity using a doubled gauge field (no in-loop link gathers)."""
+    out = None
+    for mu in range(4):
+        fwd_psi = gather_neighbor(psi_opp, mu, True, parity, geom)
+        bwd_psi = gather_neighbor(psi_opp, mu, False, parity, geom)
+        term = _su3(ud[mu, parity, 0], _proj(mu, dagger, fwd_psi))
+        term = term + _su3_dag(ud[mu, parity, 1], _proj(mu, not dagger, bwd_psi))
+        out = term if out is None else out + term
+    return out

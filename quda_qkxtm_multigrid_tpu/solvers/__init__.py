@@ -1,1 +1,6 @@
 from quda_qkxtm_multigrid_tpu.solvers.cg import cg, cg_mixed, CGResult
+from quda_qkxtm_multigrid_tpu.solvers.bicgstab import bicgstab, BiCGStabResult
+from quda_qkxtm_multigrid_tpu.solvers.mr import mr
+from quda_qkxtm_multigrid_tpu.solvers.gcr import gcr, GCRResult
+from quda_qkxtm_multigrid_tpu.solvers.multishift import multishift_cg, MultiShiftResult
+from quda_qkxtm_multigrid_tpu.solvers.msrc import msrc_cg, MultiSrcResult

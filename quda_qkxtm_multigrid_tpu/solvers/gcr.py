@@ -1,0 +1,76 @@
+"""GCR with right preconditioning — THE production outer solver for
+multigrid runs (reference lib/inv_gcr_quda.cpp; orthoDir :86,
+back-substitution :131, restarts :348-457).
+
+Flexible: the preconditioner K may be a nonlinear map (an MG V-cycle).
+Restart cycle of length n_krylov; fixed-size Krylov bases carried as
+stacked arrays [n_krylov, ...field] so the loop is jit-compilable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class GCRResult(NamedTuple):
+    x: jax.Array
+    iters: jax.Array
+    r2: jax.Array
+
+
+def gcr(matvec: Callable, b, x0=None, tol: float = 1e-10,
+        n_krylov: int = 10, max_restarts: int = 50,
+        precond: Optional[Callable] = None) -> GCRResult:
+    """Solve M x = b.  ``precond`` maps r -> approximate M^-1 r."""
+    if precond is None:
+        precond = lambda r: r
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b if x0 is None else b - matvec(x)
+    b2 = jnp.real(jnp.vdot(b, b))
+    target = (tol * tol) * b2
+
+    zeros_basis = jnp.zeros((n_krylov,) + b.shape, b.dtype)
+
+    def cycle(carry):
+        x, r, restarts, iters = carry
+
+        def inner(k, st):
+            x, r, zs, vs, r2 = st
+            z = precond(r)
+            v = matvec(z)
+            # orthogonalise v against previous vs (modified Gram-Schmidt,
+            # reference orthoDir inv_gcr_quda.cpp:86)
+            def ortho(j, sv):
+                z, v = sv
+                c = jnp.vdot(vs[j], v)
+                mask = (j < k).astype(b.dtype)
+                return (z - mask * c * zs[j], v - mask * c * vs[j])
+            z, v = jax.lax.fori_loop(0, n_krylov, ortho, (z, v))
+            vnorm = jnp.sqrt(jnp.real(jnp.vdot(v, v)))
+            inv = jnp.where(vnorm > 0, 1.0 / vnorm, 0.0).astype(b.dtype)
+            z = z * inv
+            v = v * inv
+            alpha = jnp.vdot(v, r)
+            x = x + alpha * z
+            r = r - alpha * v
+            zs = zs.at[k].set(z)
+            vs = vs.at[k].set(v)
+            return (x, r, zs, vs, jnp.real(jnp.vdot(r, r)))
+
+        r2 = jnp.real(jnp.vdot(r, r))
+        x, r, _, _, r2 = jax.lax.fori_loop(
+            0, n_krylov, inner, (x, r, zeros_basis, zeros_basis, r2))
+        return (x, r, restarts + 1, iters + n_krylov)
+
+    def cond(carry):
+        x, r, restarts, iters = carry
+        return jnp.logical_and(jnp.real(jnp.vdot(r, r)) > target,
+                               restarts < max_restarts)
+
+    x, r, restarts, iters = jax.lax.while_loop(
+        cond, cycle, (x, r, jnp.asarray(0, jnp.int32),
+                      jnp.asarray(0, jnp.int32)))
+    return GCRResult(x, iters, jnp.real(jnp.vdot(r, r)))
