@@ -1,0 +1,138 @@
+"""Adaptive aggregation multigrid: null-vector setup, V-cycle
+preconditioner, MG-preconditioned GCR solve.
+
+The analogue of the reference MG class (reference include/multigrid.h:177,
+lib/multigrid.cpp): setup at :11-285 (generateNullVectors → Transfer →
+createCoarseOp → recurse → coarse_solver GCR(maxiter 11, nkrylov 10)
+:229-272), V-cycle in MG::operator() (presmooth → residual → restrict →
+coarse-solve → prolongate-add → postsmooth), used as the GCR
+preconditioner (interface_quda.cpp:2257, quda.h:225).
+
+Round-1 scope: 2-level MG over the full (non-preconditioned) fine
+operator M; the recursive level structure is in place (coarse-of-coarse
+construction needs a dof-generic Transfer — noted for the next round,
+reference lib/coarsecoarse_op.cu).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from quda_qkxtm_multigrid_tpu.dirac import Dirac
+from quda_qkxtm_multigrid_tpu.mg.transfer import (
+    BlockGeometry, Transfer, to_blocked, block_orthonormalize)
+from quda_qkxtm_multigrid_tpu.mg.coarse_op import CoarseOperator, build_coarse_op
+from quda_qkxtm_multigrid_tpu.ops import dslash as _dsl
+from quda_qkxtm_multigrid_tpu.solvers.bicgstab import bicgstab
+from quda_qkxtm_multigrid_tpu.solvers.gcr import gcr
+from quda_qkxtm_multigrid_tpu.solvers.mr import mr
+from quda_qkxtm_multigrid_tpu.utils import rng as _rng
+
+
+@dataclasses.dataclass(frozen=True)
+class MGParams:
+    """Per-solve MG configuration (the analogue of QudaMultigridParam,
+    reference include/quda.h:327-409)."""
+
+    block: tuple = (4, 4, 4, 4)       # (bx,by,bz,bt)
+    nvec: int = 24
+    setup_tol: float = 5e-6           # quda.h:366-369
+    setup_maxiter: int = 500
+    nu_pre: int = 0
+    nu_post: int = 4                  # MR smoother steps
+    omega: float = 0.85               # CalcMG_2pt3pt_EvenOdd.cpp:429
+    coarse_nkrylov: int = 10          # multigrid.cpp:229-272
+    coarse_maxiter_restarts: int = 1  # GCR restarts on the coarse level
+    coarse_tol: float = 0.25
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["transfer", "coarse", "dirac"],
+         meta_fields=["params"])
+@dataclasses.dataclass(frozen=True)
+class MGPreconditioner:
+    transfer: Transfer
+    coarse: CoarseOperator
+    dirac: Dirac
+    params: MGParams
+
+    def vcycle(self, r):
+        """One V(nu_pre, nu_post)-cycle approximating M^{-1} r on the
+        full field [2,4,3,T,Z,W]."""
+        p = self.params
+        m = self.dirac.m
+        x = jnp.zeros_like(r)
+        if p.nu_pre > 0:
+            x = mr(m, r, niter=p.nu_pre, omega=p.omega)
+        rr = r - m(x) if p.nu_pre > 0 else r
+        rc = self.transfer.restrict(rr)
+        sol = gcr(self.coarse.apply, rc, tol=p.coarse_tol,
+                  n_krylov=p.coarse_nkrylov,
+                  max_restarts=p.coarse_maxiter_restarts)
+        x = x + self.transfer.prolong(sol.x)
+        if p.nu_post > 0:
+            rr = r - m(x)
+            x = x + mr(m, rr, niter=p.nu_post, omega=p.omega)
+        return x
+
+
+def generate_null_vectors(dirac: Dirac, bg: BlockGeometry, key,
+                          params: MGParams):
+    """Near-kernel vectors: loose inverse iteration on random sources
+    (reference MG::generateNullVectors, lib/multigrid.cpp — BiCGstab to
+    setup_tol), then block-orthonormalisation."""
+    vs = []
+    for i in range(bg.nvec):
+        key, sub = jax.random.split(key)
+        b = _rng.random_spinor(sub, dirac.geom, dtype=dirac.u.dtype)
+        res = bicgstab(dirac.m, b, tol=params.setup_tol,
+                       maxiter=params.setup_maxiter)
+        vs.append(res.x)
+    v_blocked = jnp.stack([to_blocked(v, bg) for v in vs])
+    return block_orthonormalize(v_blocked)
+
+
+def setup_mg(dirac: Dirac, params: MGParams, key,
+             null_vectors=None) -> MGPreconditioner:
+    """Build the 2-level MG preconditioner (reference MG::MG,
+    lib/multigrid.cpp:11-285 and newMultigridQuda,
+    interface_quda.cpp:2257)."""
+    bx, by, bz, bt = params.block
+    bg = BlockGeometry(dirac.geom, bx, by, bz, bt, params.nvec)
+    if null_vectors is None:
+        v = generate_null_vectors(dirac, bg, key, params)
+    else:
+        v = block_orthonormalize(jnp.stack(
+            [to_blocked(nv, bg) for nv in null_vectors]))
+    transfer = Transfer(v=v, bg=bg)
+
+    geom = dirac.geom
+    kappa = dirac.params.kappa
+
+    def diag_apply(psi):
+        return jnp.stack([dirac.a_apply(psi[0], 0),
+                          dirac.a_apply(psi[1], 1)])
+
+    hop_terms = []
+    for mu in range(4):
+        for sign in (+1, -1):
+            def h(psi, mu=mu, sign=sign):
+                return -kappa * _dsl.hop_apply(dirac.u, psi, mu, sign, geom)
+            hop_terms.append(h)
+
+    coarse = build_coarse_op(transfer, diag_apply, hop_terms, dirac.u.dtype)
+    return MGPreconditioner(transfer=transfer, coarse=coarse, dirac=dirac,
+                            params=params)
+
+
+def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
+             n_krylov: int = 10, max_restarts: int = 50):
+    """MG-preconditioned GCR on M x = b (the production outer solve,
+    reference inv_gcr_quda.cpp + multigrid preconditioner)."""
+    return gcr(mg.dirac.m, b, tol=tol, n_krylov=n_krylov,
+               max_restarts=max_restarts, precond=mg.vcycle)

@@ -1,0 +1,148 @@
+"""Aggregation transfer operators: geometric blocking, chirality-preserving
+spin blocking, block orthonormalisation, restrict (R) and prolongate (P).
+
+The analogue of the reference Transfer class (reference include/transfer.h:30,
+lib/transfer.cpp; kernels lib/restrictor.cu:161, lib/prolongator.cu:119;
+BlockOrthogonalize lib/transfer_util.cu).
+
+Conventions:
+  * geometric blocks (bx,by,bz,bt), default 4^4 (reference
+    tests/multigrid_invert_test.cpp:227)
+  * spin block size 2 at the fine level: coarse spin = 2 chiralities,
+    which gamma5 = diag(+,+,-,-) makes exact chirality blocks in the
+    DeGrand-Rossi basis (reference spin_block_size,
+    CalcMG_2pt3pt_EvenOdd.cpp:435)
+  * coarse dof per site = 2 (chirality) x n_vec
+
+Blocked intermediate layout: [Tc, Zc, Yc, Xc, bv, 4, 3] with bv the
+intra-block site index (t-major, x-minor).  Conversions go through the
+lexicographic layout; transfers run once per V-cycle level so this is
+not the hot path (the coarse stencil is).
+
+Coarse field layout: [2(chir), nvec, Tc, Zc, Yc, Xc].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from quda_qkxtm_multigrid_tpu.utils.precision import heinsum
+
+from quda_qkxtm_multigrid_tpu.lattice import (
+    Geometry, spinor_to_lex, spinor_from_lex)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockGeometry:
+    fine: Geometry
+    bx: int = 4
+    by: int = 4
+    bz: int = 4
+    bt: int = 4
+    nvec: int = 24
+
+    def __post_init__(self):
+        for d, b in zip(self.fine.dims, (self.bx, self.by, self.bz, self.bt)):
+            if d % b:
+                raise ValueError(f"block {b} does not divide dim {d}")
+
+    @property
+    def coarse_dims(self):
+        f = self.fine
+        return (f.X // self.bx, f.Y // self.by, f.Z // self.bz, f.T // self.bt)
+
+    @property
+    def block_volume(self) -> int:
+        return self.bx * self.by * self.bz * self.bt
+
+    @property
+    def coarse_shape(self):
+        xc, yc, zc, tc = self.coarse_dims
+        return (tc, zc, yc, xc)
+
+    @property
+    def coarse_dof(self) -> int:
+        return 2 * self.nvec
+
+
+def to_blocked(psi, bg: BlockGeometry):
+    """[2,4,3,T,Z,W] → [Tc,Zc,Yc,Xc, bv, 4, 3]."""
+    g = bg.fine
+    lex = spinor_to_lex(psi, g)                        # [T,Z,Y,X,4,3]
+    xc, yc, zc, tc = bg.coarse_dims
+    r = lex.reshape(tc, bg.bt, zc, bg.bz, yc, bg.by, xc, bg.bx, 4, 3)
+    r = r.transpose(0, 2, 4, 6, 1, 3, 5, 7, 8, 9)
+    return r.reshape(tc, zc, yc, xc, bg.block_volume, 4, 3)
+
+
+def from_blocked(blk, bg: BlockGeometry):
+    g = bg.fine
+    xc, yc, zc, tc = bg.coarse_dims
+    r = blk.reshape(tc, zc, yc, xc, bg.bt, bg.bz, bg.by, bg.bx, 4, 3)
+    r = r.transpose(0, 4, 1, 5, 2, 6, 3, 7, 8, 9)
+    lex = r.reshape(g.T, g.Z, g.Y, g.X, 4, 3)
+    return spinor_from_lex(lex, g)
+
+
+# chirality halves of the spin axis in the blocked layout (axis -2)
+def _chiral_split(blk):
+    """[..., 4, 3] → [..., 2(ch), 2(s), 3]."""
+    return blk.reshape(blk.shape[:-2] + (2, 2, 3))
+
+
+def block_orthonormalize(v_blocked):
+    """Gram-Schmidt the n_vec vectors within every (aggregate, chirality)
+    independently (reference BlockOrthogonalize, lib/transfer_util.cu:567).
+
+    v_blocked [nvec, Tc,Zc,Yc,Xc, bv, 4, 3] → same, orthonormal per
+    (aggregate, chirality)."""
+    nvec = v_blocked.shape[0]
+    v = _chiral_split(v_blocked)   # [nvec, Tc,Zc,Yc,Xc, bv, 2, 2, 3]
+    # inner product axes: bv(-4), s(-2), col(-1); chirality (-3) separate
+    axes = (-4, -2, -1)
+
+    ortho = []
+    for k in range(nvec):
+        vk = v[k]
+        for j in range(k):
+            ip = jnp.sum(jnp.conj(ortho[j]) * vk, axis=axes, keepdims=True)
+            vk = vk - ip * ortho[j]
+        nrm = jnp.sqrt(jnp.sum(jnp.abs(vk) ** 2, axis=axes, keepdims=True))
+        vk = vk / jnp.where(nrm > 0, nrm, 1.0)
+        ortho.append(vk)
+    out = jnp.stack(ortho)
+    return out.reshape(v_blocked.shape)
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["v"],
+         meta_fields=["bg"])
+@dataclasses.dataclass(frozen=True)
+class Transfer:
+    """Packed aggregate matrix V (orthonormal per aggregate+chirality)."""
+
+    v: Any                      # [nvec, Tc,Zc,Yc,Xc, bv, 4, 3]
+    bg: BlockGeometry
+
+    def restrict(self, psi):
+        """fine [2,4,3,T,Z,W] → coarse [2(ch), nvec, Tc,Zc,Yc,Xc]
+        (reference Transfer::R, transfer.h:188)."""
+        blk = _chiral_split(to_blocked(psi, self.bg))  # [...,bv,2,2,3]
+        v = _chiral_split(self.v)                      # [n,...,bv,2,2,3]
+        return heinsum("n...bcsa,...bcsa->cn...", jnp.conj(v), blk)
+
+    def prolong(self, vc):
+        """coarse [2, nvec, Tc,Zc,Yc,Xc] → fine [2,4,3,T,Z,W]
+        (reference Transfer::P, transfer.h:181)."""
+        v = _chiral_split(self.v)
+        blk = heinsum("n...bcsa,cn...->...bcsa", v, vc)
+        blk = blk.reshape(blk.shape[:-3] + (4, 3))
+        return from_blocked(blk, self.bg)
+
+    def flops(self) -> int:
+        """8 * nvec * fine-dof per site (reference transfer.cpp R flops)."""
+        return 8 * self.bg.nvec * 12 * self.bg.fine.volume

@@ -98,3 +98,24 @@ def dslash_parity_doubled(ud, psi_opp, parity: int, geom: Geometry,
         term = term + _su3_dag(ud[mu, parity, 1], _proj(mu, not dagger, bwd_psi))
         out = term if out is None else out + term
     return out
+
+
+def hop_apply(u, psi, mu: int, sign: int, geom: Geometry,
+              dagger: bool = False):
+    """Single directional hop term on a FULL field [2,4,3,T,Z,W]:
+    sign=+1: out(x) = (1∓γ_mu) U_mu(x) psi(x+mu)
+    sign=-1: out(x) = (1±γ_mu) U_mu†(x-mu) psi(x-mu)
+    (one of the 8 dir terms of dslashReference,
+    tests/wilson_dslash_reference.cpp:117-125).  Used by the coarse-
+    operator construction to probe individual coarse links."""
+    outs = []
+    for parity in (0, 1):
+        src = psi[1 - parity]
+        if sign > 0:
+            fwd = gather_neighbor(src, mu, True, parity, geom)
+            outs.append(_su3(u[mu, parity], _proj(mu, dagger, fwd)))
+        else:
+            bwd = gather_neighbor(src, mu, False, parity, geom)
+            u_bwd = gather_neighbor(u[mu, 1 - parity], mu, False, parity, geom)
+            outs.append(_su3_dag(u_bwd, _proj(mu, not dagger, bwd)))
+    return jnp.stack(outs)

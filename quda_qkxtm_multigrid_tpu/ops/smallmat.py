@@ -18,25 +18,26 @@ import numpy as np
 
 
 def su3_mul(u, psi):
-    """out[s,a] = sum_b u[a,b] psi[s,b]; u [3,3,T,Z,W], psi [S,3,T,Z,W]."""
+    """out[..., s, a, t, z, w] = sum_b u[a,b] psi[..., s, b]; color axis
+    at -4 so arbitrary leading batch/spin axes are supported."""
     cols = []
     for a in range(3):
-        acc = u[a, 0][None] * psi[:, 0]
-        acc = acc + u[a, 1][None] * psi[:, 1]
-        acc = acc + u[a, 2][None] * psi[:, 2]
+        acc = u[a, 0] * psi[..., 0, :, :, :]
+        acc = acc + u[a, 1] * psi[..., 1, :, :, :]
+        acc = acc + u[a, 2] * psi[..., 2, :, :, :]
         cols.append(acc)
-    return jnp.stack(cols, axis=1)
+    return jnp.stack(cols, axis=-4)
 
 
 def su3_dag_mul(u, psi):
-    """out[s,a] = sum_b conj(u[b,a]) psi[s,b]."""
+    """out[..., s, a] = sum_b conj(u[b,a]) psi[..., s, b]."""
     cols = []
     for a in range(3):
-        acc = jnp.conj(u[0, a])[None] * psi[:, 0]
-        acc = acc + jnp.conj(u[1, a])[None] * psi[:, 1]
-        acc = acc + jnp.conj(u[2, a])[None] * psi[:, 2]
+        acc = jnp.conj(u[0, a]) * psi[..., 0, :, :, :]
+        acc = acc + jnp.conj(u[1, a]) * psi[..., 1, :, :, :]
+        acc = acc + jnp.conj(u[2, a]) * psi[..., 2, :, :, :]
         cols.append(acc)
-    return jnp.stack(cols, axis=1)
+    return jnp.stack(cols, axis=-4)
 
 
 def mat_mul(a, b):
@@ -131,3 +132,25 @@ def mat6_inv_blocks(m):
     top = jnp.concatenate([tl, tr], axis=1)
     bot = jnp.concatenate([bl, br], axis=1)
     return jnp.concatenate([top, bot], axis=0)
+
+
+def su3_conj_mul(u, psi):
+    """out[..., s, a] = sum_b conj(u[a,b]) psi[..., s, b]  (U* v)."""
+    cols = []
+    for a in range(3):
+        acc = jnp.conj(u[a, 0]) * psi[..., 0, :, :, :]
+        acc = acc + jnp.conj(u[a, 1]) * psi[..., 1, :, :, :]
+        acc = acc + jnp.conj(u[a, 2]) * psi[..., 2, :, :, :]
+        cols.append(acc)
+    return jnp.stack(cols, axis=-4)
+
+
+def su3_transp_mul(u, psi):
+    """out[..., s, a] = sum_b u[b,a] psi[..., s, b]  (U^T v)."""
+    cols = []
+    for a in range(3):
+        acc = u[0, a] * psi[..., 0, :, :, :]
+        acc = acc + u[1, a] * psi[..., 1, :, :, :]
+        acc = acc + u[2, a] * psi[..., 2, :, :, :]
+        cols.append(acc)
+    return jnp.stack(cols, axis=-4)

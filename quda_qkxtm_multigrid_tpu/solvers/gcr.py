@@ -48,9 +48,19 @@ def gcr(matvec: Callable, b, x0=None, tol: float = 1e-10,
                 c = jnp.vdot(vs[j], v)
                 mask = (j < k).astype(b.dtype)
                 return (z - mask * c * zs[j], v - mask * c * vs[j])
+            v0n2 = jnp.real(jnp.vdot(v, v))
             z, v = jax.lax.fori_loop(0, n_krylov, ortho, (z, v))
-            vnorm = jnp.sqrt(jnp.real(jnp.vdot(v, v)))
-            inv = jnp.where(vnorm > 0, 1.0 / vnorm, 0.0).astype(b.dtype)
+            vnorm2 = jnp.real(jnp.vdot(v, v))
+            # breakdown guard: if orthogonalisation annihilated v (the
+            # preconditioner returned a direction already in the span —
+            # common with a strong MG V-cycle in single precision), skip
+            # the direction instead of amplifying round-off
+            # (the role of the reference's GCR restart logic,
+            # inv_gcr_quda.cpp:348-457).
+            eps2 = 1e-10 if b.dtype == jnp.complex64 else 1e-24
+            ok = vnorm2 > eps2 * v0n2
+            inv = jnp.where(ok, 1.0 / jnp.sqrt(jnp.maximum(vnorm2, 1e-30)),
+                            0.0).astype(b.dtype)
             z = z * inv
             v = v * inv
             alpha = jnp.vdot(v, r)
@@ -63,6 +73,10 @@ def gcr(matvec: Callable, b, x0=None, tol: float = 1e-10,
         r2 = jnp.real(jnp.vdot(r, r))
         x, r, _, _, r2 = jax.lax.fori_loop(
             0, n_krylov, inner, (x, r, zeros_basis, zeros_basis, r2))
+        # recompute the TRUE residual at each restart: the recursed r
+        # drifts in single precision (reliable-update analogue,
+        # reference inv_cg_quda.cpp:207-311)
+        r = b - matvec(x)
         return (x, r, restarts + 1, iters + n_krylov)
 
     def cond(carry):

@@ -1,0 +1,112 @@
+"""Multigrid tests: transfer orthonormality & adjointness, Galerkin
+consistency of the explicit coarse operator (Dc == R M P), and the
+2-level MG-GCR solve beating unpreconditioned GCR (mirrors reference
+tests/multigrid_invert_test.cpp)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quda_qkxtm_multigrid_tpu.lattice import Geometry
+from quda_qkxtm_multigrid_tpu.dirac import DiracParams, make_dirac
+from quda_qkxtm_multigrid_tpu.mg.transfer import (
+    BlockGeometry, Transfer, to_blocked, from_blocked, block_orthonormalize)
+from quda_qkxtm_multigrid_tpu.mg.multigrid import (
+    MGParams, setup_mg, mg_solve)
+from quda_qkxtm_multigrid_tpu.solvers.gcr import gcr
+from quda_qkxtm_multigrid_tpu.utils import rng
+
+GEOM = Geometry(4, 4, 4, 8)
+BG = BlockGeometry(GEOM, 2, 2, 2, 2, nvec=4)
+
+
+def _dirac(seed=0, **kw):
+    u = rng.random_gauge(jax.random.PRNGKey(seed), GEOM)
+    return make_dirac(u, DiracParams(**kw), GEOM)
+
+
+def _transfer(seed=1):
+    vs = [rng.random_spinor(jax.random.PRNGKey(seed + i), GEOM)
+          for i in range(BG.nvec)]
+    v = block_orthonormalize(jnp.stack([to_blocked(x, BG) for x in vs]))
+    return Transfer(v=v, bg=BG)
+
+
+class TestBlocking:
+    def test_blocked_roundtrip(self):
+        psi = rng.random_spinor(jax.random.PRNGKey(0), GEOM)
+        blk = to_blocked(psi, BG)
+        assert blk.shape == BG.coarse_shape + (BG.block_volume, 4, 3)
+        back = from_blocked(blk, BG)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(psi),
+                                   atol=1e-14)
+
+    def test_block_orthonormal(self):
+        t = _transfer()
+        v = np.asarray(t.v).reshape(
+            (BG.nvec,) + BG.coarse_shape + (BG.block_volume, 2, 2, 3))
+        # inner products within each (aggregate, chirality)
+        gram = np.einsum("m...bcsa,n...bcsa->cmn...",
+                         v.conj(), v)
+        eye = np.eye(BG.nvec).reshape(1, BG.nvec, BG.nvec, 1, 1, 1, 1)
+        np.testing.assert_allclose(gram, np.broadcast_to(eye, gram.shape),
+                                   atol=1e-10)
+
+    def test_restrict_prolong_adjoint(self):
+        """<R psi, vc> == <psi, P vc>."""
+        t = _transfer(2)
+        psi = rng.random_spinor(jax.random.PRNGKey(9), GEOM)
+        vc = (jax.random.normal(jax.random.PRNGKey(10),
+                                (2, BG.nvec) + BG.coarse_shape)
+              + 1j * jax.random.normal(jax.random.PRNGKey(11),
+                                       (2, BG.nvec) + BG.coarse_shape))
+        lhs = jnp.vdot(t.restrict(psi), vc)
+        rhs = jnp.vdot(psi, t.prolong(vc))
+        np.testing.assert_allclose(complex(lhs), complex(rhs), rtol=1e-11)
+
+    def test_p_then_r_is_identity(self):
+        """R P = identity on the coarse space (V orthonormal)."""
+        t = _transfer(3)
+        vc = (jax.random.normal(jax.random.PRNGKey(12),
+                                (2, BG.nvec) + BG.coarse_shape)
+              + 1j * jax.random.normal(jax.random.PRNGKey(13),
+                                       (2, BG.nvec) + BG.coarse_shape))
+        back = t.restrict(t.prolong(vc))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(vc),
+                                   atol=1e-10)
+
+
+class TestCoarseOp:
+    @pytest.mark.parametrize("kind,mu,csw", [
+        ("wilson", 0.0, 0.0), ("twisted-clover", 0.06, 1.0)])
+    def test_galerkin_consistency(self, kind, mu, csw):
+        """Dc vc == R(M(P(vc))) for random vc — validates X, Y and the
+        bipartite probing construction."""
+        d = _dirac(4, kind=kind, kappa=0.12, mu=mu, csw=csw)
+        params = MGParams(block=(2, 2, 2, 2), nvec=4, setup_maxiter=50,
+                          setup_tol=1e-3)
+        mg = setup_mg(d, params, jax.random.PRNGKey(5))
+        vc = (jax.random.normal(jax.random.PRNGKey(14),
+                                (2, 4) + BG.coarse_shape)
+              + 1j * jax.random.normal(jax.random.PRNGKey(15),
+                                       (2, 4) + BG.coarse_shape))
+        lhs = mg.coarse.apply(vc)
+        rhs = mg.transfer.restrict(d.m(mg.transfer.prolong(vc)))
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   atol=1e-10)
+
+
+class TestMGSolve:
+    def test_mg_gcr_converges_and_beats_plain(self):
+        d = _dirac(6, kind="twisted-mass", kappa=0.122, mu=0.03)
+        params = MGParams(block=(2, 2, 2, 2), nvec=6, setup_tol=1e-4,
+                          setup_maxiter=200, nu_post=4)
+        mg = setup_mg(d, params, jax.random.PRNGKey(7))
+        b = rng.random_spinor(jax.random.PRNGKey(8), GEOM)
+        out = mg_solve(mg, b, tol=1e-8, n_krylov=10, max_restarts=30)
+        r = b - d.m(out.x)
+        relres = float(jnp.linalg.norm(r.ravel()) / jnp.linalg.norm(b.ravel()))
+        assert relres < 1e-6, relres
+        plain = gcr(d.m, b, tol=1e-8, n_krylov=10, max_restarts=30)
+        assert int(out.iters) <= int(plain.iters)
