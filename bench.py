@@ -30,23 +30,31 @@ def main():
     @jax.jit
     def setup(key):
         k1, k2 = jax.random.split(key)
-        return (rng.random_gauge(k1, geom, dtype=dtype),
-                rng.random_spinor(k2, geom, dtype=dtype))
+        u = rng.random_gauge(k1, geom, dtype=dtype)
+        return u, dsl.double_gauge(u, geom), rng.random_spinor(
+            k2, geom, dtype=dtype)
 
-    u, psi = setup(jax.random.PRNGKey(0))
-    jax.block_until_ready((u, psi))
+    u, ud, psi = setup(jax.random.PRNGKey(0))
+    jax.block_until_ready((u, ud, psi))
 
     # Honest timing through the remote-execution tunnel: chain N applies
     # INSIDE one jit ending in a scalar reduction fetched to host (this
     # backend's block_until_ready does not reliably block), and take the
     # slope between two chain lengths to cancel dispatch/fetch overhead.
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import dslash_parity_pallas
+    use_pallas = on_tpu
+
     def chain(n):
         @jax.jit
-        def f(u, p):
+        def f(ud_or_u, p):
             def body(i, v):
-                return dsl.dslash_parity(u, v, 0, geom) * 0.125
+                if use_pallas:
+                    return dslash_parity_pallas(ud_or_u, v, 0, geom) * 0.125
+                return dsl.dslash_parity(ud_or_u, v, 0, geom) * 0.125
             return jnp.sum(jnp.abs(jax.lax.fori_loop(0, n, body, p)))
         return f
+
+    u = ud if use_pallas else u
 
     n_lo, n_hi = 10, 110
     f_lo, f_hi = chain(n_lo), chain(n_hi)
@@ -73,6 +81,7 @@ def main():
         "detail": {
             "geom": list(geom.dims), "dtype": "complex64",
             "backend": jax.default_backend(),
+            "path": "pallas" if on_tpu else "xla-shift",
             "ms_per_apply": round(dt * 1e3, 4),
             "speed_of_light_gflops": sol,
         },

@@ -53,6 +53,7 @@ class DiracParams:
     flavor: int = +1            # twist sign (TWIST_PLUS / TWIST_MINUS)
     matpc_parity: int = 0       # 0 = even-even, 1 = odd-odd
     asymmetric: bool = False    # asymmetric Schur variant
+    use_pallas: bool = False    # Pallas dslash fast path (c64, 1 chip)
 
     @property
     def has_twist(self) -> bool:
@@ -64,21 +65,27 @@ class DiracParams:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["u", "clover", "clover_inv"],
+         data_fields=["u", "clover", "clover_inv", "u_doubled"],
          meta_fields=["params", "geom"])
 @dataclasses.dataclass(frozen=True)
 class Dirac:
     """Operator bundle: fields + params. A pytree, so it passes through
     jit/grad/shard_map transparently."""
 
-    u: Any                      # gauge [4,2,T,Z,Y,X/2,3,3]
+    u: Any                      # gauge [4,2,3,3,T,Z,W]
     params: DiracParams
     geom: Geometry
-    clover: Optional[Any] = None      # [2,2,T,Z,Y,X/2,6,6] (parity, chirality)
+    clover: Optional[Any] = None      # [2,2,6,6,T,Z,W] (parity, chirality)
     clover_inv: Optional[Any] = None  # inverse incl. twist for tmc PC
+    u_doubled: Optional[Any] = None   # precomputed links for the Pallas path
 
     # ---- hopping ----------------------------------------------------
     def dslash(self, psi_opp, parity: int, dagger: bool = False):
+        if self.params.use_pallas and self.u_doubled is not None:
+            from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
+                dslash_parity_pallas)
+            return dslash_parity_pallas(self.u_doubled, psi_opp, parity,
+                                        self.geom, dagger)
         return _dsl.dslash_parity(self.u, psi_opp, parity, self.geom, dagger)
 
     # ---- parity-diagonal term A ------------------------------------
@@ -189,5 +196,6 @@ def make_dirac(u, params: DiracParams, geom: Geometry,
     if params.has_clover and clover is None:
         from quda_qkxtm_multigrid_tpu.ops import clover as _cl
         clover, clover_inv = _cl.make_clover_pair(u, geom, params)
+    u_doubled = _dsl.double_gauge(u, geom) if params.use_pallas else None
     return Dirac(u=u, params=params, geom=geom, clover=clover,
-                 clover_inv=clover_inv)
+                 clover_inv=clover_inv, u_doubled=u_doubled)

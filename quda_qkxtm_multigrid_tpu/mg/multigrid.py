@@ -29,7 +29,7 @@ from quda_qkxtm_multigrid_tpu.mg.transfer import (
 from quda_qkxtm_multigrid_tpu.mg.coarse_op import CoarseOperator, build_coarse_op
 from quda_qkxtm_multigrid_tpu.ops import dslash as _dsl
 from quda_qkxtm_multigrid_tpu.solvers.bicgstab import bicgstab
-from quda_qkxtm_multigrid_tpu.solvers.gcr import gcr
+from quda_qkxtm_multigrid_tpu.solvers.gcr import gcr, gcr_cycle, gcr_restarted
 from quda_qkxtm_multigrid_tpu.solvers.mr import mr
 from quda_qkxtm_multigrid_tpu.utils import rng as _rng
 
@@ -71,10 +71,8 @@ class MGPreconditioner:
             x = mr(m, r, niter=p.nu_pre, omega=p.omega)
         rr = r - m(x) if p.nu_pre > 0 else r
         rc = self.transfer.restrict(rr)
-        sol = gcr(self.coarse.apply, rc, tol=p.coarse_tol,
-                  n_krylov=p.coarse_nkrylov,
-                  max_restarts=p.coarse_maxiter_restarts)
-        x = x + self.transfer.prolong(sol.x)
+        xc = gcr_cycle(self.coarse.apply, rc, n_krylov=p.coarse_nkrylov)
+        x = x + self.transfer.prolong(xc)
         if p.nu_post > 0:
             rr = r - m(x)
             x = x + mr(m, rr, niter=p.nu_post, omega=p.omega)
@@ -130,9 +128,85 @@ def setup_mg(dirac: Dirac, params: MGParams, key,
                             params=params)
 
 
+@partial(jax.jit, static_argnames=("n_krylov",))
+def _mg_cycle(mg, x, b, n_krylov):
+    """One GCR(n_krylov) cycle with V-cycle preconditioning; mg passed
+    as a pytree ARGUMENT (a closure would inline the gauge/coarse arrays
+    as IR constants, forcing host transfers that this backend rejects)."""
+    r = b - mg.dirac.m(x)
+    e = gcr_cycle(mg.dirac.m, r, n_krylov=n_krylov, precond=mg.vcycle)
+    return x + e
+
+
+_zeros_like = jax.jit(jnp.zeros_like)
+_norm2 = jax.jit(lambda v: jnp.real(jnp.vdot(v, v)))
+
+
+@jax.jit
+def _true_r2(mg, x, b):
+    """|b - M x|² in its OWN XLA program: if computed inside the cycle
+    graph, XLA algebraically folds b - M(x+e) back into the recursed
+    GCR residual, which collapses orders of magnitude below the true
+    residual in complex64 (observed 2.8e-9 vs 103 for identical x) and
+    falsely terminates the restart loop."""
+    r = b - mg.dirac.m(x)
+    return jnp.real(jnp.vdot(r, r))
+
+
+@jax.jit
+def _mr_resid(mg, x, b):
+    """(r, |r|²) in its own program — see mg_solve docstring."""
+    r = b - mg.dirac.m(x)
+    return r, jnp.real(jnp.vdot(r, r))
+
+
+@jax.jit
+def _mr_step(mg, x, r):
+    """One minimal-residual Richardson step z = V-cycle(r),
+    x += <Mz,r>/<Mz,Mz> z, with r as an INPUT (not recomputed here —
+    fusing b − Mx with the V-cycle in one program triggers the backend
+    miscompilation described in mg_solve)."""
+    z = mg.vcycle(r)
+    w = mg.dirac.m(z)
+    denom = jnp.real(jnp.vdot(w, w))
+    omega = jnp.where(denom > 0, jnp.vdot(w, r) / denom, 0.0).astype(r.dtype)
+    return x + omega * z
+
+
 def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
-             n_krylov: int = 10, max_restarts: int = 50):
-    """MG-preconditioned GCR on M x = b (the production outer solve,
-    reference inv_gcr_quda.cpp + multigrid preconditioner)."""
-    return gcr(mg.dirac.m, b, tol=tol, n_krylov=n_krylov,
-               max_restarts=max_restarts, precond=mg.vcycle)
+             n_krylov: int = 10, max_restarts: int = 50,
+             solver: str = "mr-richardson"):
+    """MG-preconditioned outer solve of M x = b.
+
+    Default "mr-richardson": host-stepped minimal-residual Richardson,
+    x += ω V-cycle(b − Mx) with a line search — with a V-cycle
+    contraction of ~0.06/iteration this converges as fast as the
+    reference's GCR wrapper in practice, recomputes the TRUE residual
+    every step (the reliable-update discipline), and sidesteps a TPU
+    backend miscompilation where any in-graph combination of the
+    preconditioned Krylov recursion with its own residual evaluates the
+    collapsed recursed form (observed 2.8e-9 vs true 103 for the same x).
+
+    "gcr-jit": the fully-jitted GCR(n_krylov) restart cycle (correct on
+    CPU; affected by the above on the current TPU backend)."""
+    from quda_qkxtm_multigrid_tpu.solvers.gcr import GCRResult
+
+    x = _zeros_like(b)
+    b2 = float(_norm2(b))
+    iters = 0
+    r2 = None
+    if solver == "mr-richardson":
+        for i in range(max_restarts * n_krylov):
+            r, r2 = _mr_resid(mg, x, b)
+            if float(r2) <= tol * tol * b2:
+                break
+            x = _mr_step(mg, x, r)
+            iters += 1
+        return GCRResult(x, jnp.asarray(iters), r2)
+    for i in range(max_restarts):
+        x = _mg_cycle(mg, x, b, n_krylov)
+        r2 = _true_r2(mg, x, b)
+        iters += n_krylov
+        if float(r2) <= tol * tol * b2:
+            break
+    return GCRResult(x, jnp.asarray(iters), r2)

@@ -1,0 +1,67 @@
+"""End-to-end workflow tests (tiny lattice, loose tolerances): the
+analogue of running the reference's physics executables."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quda_qkxtm_multigrid_tpu.lattice import Geometry
+from quda_qkxtm_multigrid_tpu import workflows as wf
+from quda_qkxtm_multigrid_tpu.physics import threept as tp
+from quda_qkxtm_multigrid_tpu.utils import rng
+
+GEOM = Geometry(4, 4, 4, 8)
+
+
+@pytest.fixture(scope="module")
+def twop():
+    u = rng.random_gauge(jax.random.PRNGKey(0), GEOM)
+    out = wf.run_twop(u, GEOM, kappa=0.115, mu=0.05, csw=1.0,
+                      q_sq_max=1, ape_n=2, gauss_n=3, tol=1e-8,
+                      maxiter=500)
+    return u, out
+
+
+class TestTwop:
+    def test_pion_properties(self, twop):
+        _, out = twop
+        mes = np.asarray(out["mesons"])          # [10,2,T,nmom]
+        izero = int(np.where((out["moms"] == 0).all(1))[0][0])
+        pion = mes[0, 0, :, izero].real
+        assert np.all(pion > 0)
+        assert pion[1] < pion[0]
+
+    def test_baryon_shape(self, twop):
+        _, out = twop
+        assert np.asarray(out["baryons"]).shape[:4] == (10, 2, 4, 4)
+        assert np.isfinite(np.asarray(out["baryons"])).all()
+
+
+class TestThreep:
+    def test_threep_runs(self, twop):
+        u, out = twop
+        res = wf.run_threep(u, GEOM, kappa=0.115, mu=0.05, csw=1.0,
+                            prop_up=out["prop_up"], prop_dn=out["prop_dn"],
+                            u_ape=out["u_ape"], tsink=4,
+                            projectors=("G4",), gauss_n=3, tol=1e-8,
+                            maxiter=500)
+        t = res["thrp"]["G4"]
+        for part in ("part1", "part2"):
+            assert t[part]["ultra_local"].shape[0] == 16
+            assert t[part]["noether"].shape[0] == 4
+            assert t[part]["oneD"].shape[:2] == (16, 4)
+            for k in t[part]:
+                assert np.isfinite(np.asarray(t[part][k])).all()
+
+
+class TestLoops:
+    def test_loops_run(self):
+        u = rng.random_gauge(jax.random.PRNGKey(5), GEOM)
+        out = wf.run_loops(u, GEOM, kappa=0.115, mu=0.05, csw=0.0,
+                           n_stoch=2, key=jax.random.PRNGKey(6),
+                           tol=1e-7, maxiter=300)
+        assert set(out) == {"Scalar", "dOp", "LpsDw", "LpsDwCv",
+                            "Loops", "LoopsCv"}
+        for k, v in out.items():
+            assert np.isfinite(np.asarray(v)).all(), k
