@@ -74,14 +74,18 @@ _F = {
 # ---- position/momentum-space helpers ---------------------------------
 
 def corr_to_lex(c, geom: Geometry):
-    """Correlation field [..., 2(par), T, Z, W] → [..., T, Z, Y, X]."""
+    """Correlation field [..., 2(par), T, Z, W] → [..., T, Z, Y, X]
+    (vectorised over leading axes — no python iteration over device
+    arrays)."""
     lead = c.shape[:-4]
     r = c.reshape(lead + (2, geom.T, geom.Z, geom.Y, geom.Xh))
-    if lead:
-        flat = r.reshape((-1,) + r.shape[len(lead):])
-        out = jnp.stack([_join_parity_sites(f) for f in flat])
-        return out.reshape(lead + out.shape[1:])
-    return _join_parity_sites(r)
+    nl = len(lead)
+    if nl:
+        r = jnp.moveaxis(r, tuple(range(nl)), tuple(range(-nl, 0)))
+    out = _join_parity_sites(r)          # [T,Z,Y,X, lead...]
+    if nl:
+        out = jnp.moveaxis(out, tuple(range(-nl, 0)), tuple(range(nl)))
+    return out
 
 
 def momentum_list(q_sq_max: int):

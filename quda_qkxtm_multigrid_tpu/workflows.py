@@ -81,14 +81,21 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
                                       csw=csw, flavor=flavor), geom)
         p = forward_prop(d, u_ape, geom, source, gauss_alpha, gauss_n,
                          tol, maxiter, verbose)
-        props[name] = rotate_to_physical(p, flavor)
-    mes = con.meson_correlators(props["up"], props["dn"])
-    bar = con.baryon_correlators(props["up"], props["dn"])
+        props[name] = jax.jit(rotate_to_physical,
+                              static_argnames=("sign",))(p, sign=flavor)
     moms = con.momentum_list(q_sq_max)
-    mes_m = con.momentum_project(con.corr_to_lex(mes, geom), geom, moms,
-                                 source)
-    bar_m = con.momentum_project(con.corr_to_lex(bar, geom), geom, moms,
-                                 source)
+
+    @jax.jit
+    def _contract(pu, pd):
+        mes = con.meson_correlators(pu, pd)
+        bar = con.baryon_correlators(pu, pd)
+        mes_m = con.momentum_project(con.corr_to_lex(mes, geom), geom,
+                                     moms, source)
+        bar_m = con.momentum_project(con.corr_to_lex(bar, geom), geom,
+                                     moms, source)
+        return mes_m, bar_m
+
+    mes_m, bar_m = _contract(props["up"], props["dn"])
     return {"mesons": mes_m, "baryons": bar_m, "moms": moms,
             "prop_up": props["up"], "prop_dn": props["dn"], "u_ape": u_ape}
 
@@ -106,46 +113,55 @@ def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
     projected with e^{+ipx} (3pt convention)."""
     kind = "twisted-clover" if csw != 0.0 else "twisted-mass"
     moms = con.momentum_list(q_sq_max)
-    # sink-smeared 3D props
-    up3d = tp.prop_timeslice_lex(
-        smear_propagator(prop_up, u_ape, geom, gauss_alpha, gauss_n),
-        geom, tsink)
-    dn3d = tp.prop_timeslice_lex(
-        smear_propagator(prop_dn, u_ape, geom, gauss_alpha, gauss_n),
-        geom, tsink)
+
+    @partial(jax.jit, static_argnames=("ts",))
+    def _prop3d(prop, u_ape, ts):
+        return tp.prop_timeslice_lex(
+            smear_propagator(prop, u_ape, geom, gauss_alpha, gauss_n),
+            geom, ts)
+
+    @partial(jax.jit, static_argnames=("part", "ts"))
+    def _seqsrc(up3d, dn3d, proj_arr, part, ts):
+        seq = (tp.seq_source_part1(up3d, dn3d, proj_arr) if part == 1
+               else tp.seq_source_part2(up3d, proj_arr))
+        return tp.embed_timeslice(seq, geom, ts, prop_up.dtype)
+
+    @jax.jit
+    def _seq_col(d, u_ape, b):
+        b = apply_gamma5(b)
+        b = gaussian_smear(b, u_ape, geom, gauss_alpha, gauss_n)
+        return invert(d, b, tol=tol, maxiter=maxiter).x
+
+    @partial(jax.jit, static_argnames=("part",))
+    def _fixsink(seqprop, fwd, u, part):
+        loc = tp.fixsink_local(seqprop, fwd, particle, part)
+        noe = tp.fixsink_noether(seqprop, fwd, u, geom, particle, part)
+        oneD = tp.fixsink_oneD(seqprop, fwd, u, geom, particle, part)
+        def mproj(c):
+            return con.momentum_project(con.corr_to_lex(c, geom), geom,
+                                        -moms, source)
+        return mproj(loc), mproj(noe), mproj(oneD)
+
+    up3d = _prop3d(prop_up, u_ape, tsink)
+    dn3d = _prop3d(prop_dn, u_ape, tsink)
     results = {}
     for proj_name in projectors:
-        proj = tp.projector(proj_name, particle)
+        proj = jnp.asarray(tp.projector(proj_name, particle), prop_up.dtype)
         results[proj_name] = {}
-        for partflag, seq_lex in (
-                (1, tp.seq_source_part1(up3d, dn3d, proj)),
-                (2, tp.seq_source_part2(up3d, proj))):
-            src = tp.embed_timeslice(seq_lex, geom, tsink, prop_up.dtype)
-            # γ5, smear, solve with opposite flavor
-            # (reference :6650-6700: part1 → MINUS twist for proton)
+        for partflag in (1, 2):
+            src = _seqsrc(up3d, dn3d, proj, partflag, tsink)
+            # solve with opposite flavor (reference :6650-6700:
+            # part1 → MINUS twist for proton)
             flavor = -particle if partflag == 1 else +particle
             d = make_dirac(u, DiracParams(kind=kind, kappa=kappa, mu=mu,
                                           csw=csw, flavor=flavor), geom)
-            cols = []
-            for q in range(4):
-                for s in range(3):
-                    b = apply_gamma5(src[q, s])
-                    b = gaussian_smear(b, u_ape, geom, gauss_alpha, gauss_n)
-                    x = invert(d, b, tol=tol, maxiter=maxiter).x
-                    cols.append(x)
+            cols = [_seq_col(d, u_ape, src[q, s])
+                    for q in range(4) for s in range(3)]
             seqsol = jnp.stack(cols).reshape((4, 3) + cols[0].shape)
             seqprop = jnp.transpose(seqsol, (2, 3, 0, 4, 1, 5, 6, 7))
-            fwd = prop_up if partflag == 2 else prop_up  # insertions on u
-            loc = tp.fixsink_local(seqprop, fwd, particle, partflag)
-            noe = tp.fixsink_noether(seqprop, fwd, u, geom, particle,
-                                     partflag)
-            oneD = tp.fixsink_oneD(seqprop, fwd, u, geom, particle, partflag)
-            def mproj(c):
-                return con.momentum_project(con.corr_to_lex(c, geom), geom,
-                                            -moms, source)
+            loc, noe, oneD = _fixsink(seqprop, prop_up, u, partflag)
             results[proj_name][f"part{partflag}"] = {
-                "ultra_local": mproj(loc), "noether": mproj(noe),
-                "oneD": mproj(oneD)}
+                "ultra_local": loc, "noether": noe, "oneD": oneD}
     return {"thrp": results, "moms": moms}
 
 
