@@ -64,3 +64,84 @@ def gauge_transform(u, g, geom: Geometry):
             per_par.append(_mm(_mm(g[p], u[mu, p]), mat_dag(g_fwd)))
         out.append(jnp.stack(per_par))
     return jnp.stack(out)
+
+
+def topological_charge(u, geom: Geometry):
+    """Field-theoretic topological charge from the clover-leaf field
+    strength (reference lib/qcharge_quda.cu, gauge_tools.h:101):
+    Q = (1/4π²) Σ_x Re tr[F_xy F_zt − F_xz F_yt + F_yz F_xt]
+    (with the stored antisymmetric pairing of ops.clover.FMUNU_PAIRS)."""
+    from quda_qkxtm_multigrid_tpu.ops.clover import field_strength
+    from quda_qkxtm_multigrid_tpu.ops.smallmat import mat_mul
+    f = field_strength(u, geom)   # pairs (yx),(zx),(zy),(tx),(ty),(tz)
+
+    def retr(a, b):
+        m = mat_mul(a, b)
+        return jnp.sum(jnp.real(m[0, 0] + m[1, 1] + m[2, 2]))
+
+    q = 0.0
+    for p in (0, 1):
+        q = q + retr(f[0, p], f[5, p]) - retr(f[1, p], f[4, p]) \
+            + retr(f[2, p], f[3, p])
+    return q / (4.0 * np.pi ** 2)
+
+
+def gauge_fix_ovr(u, geom: Geometry, gauge_dir: int = 3, n_iter: int = 100,
+                  omega: float = 1.0):
+    """Relaxation gauge fixing (Coulomb gauge_dir=3, Landau gauge_dir=4) —
+    the role of gaugefixingOVR (reference lib/gauge_fix_ovr.cu,
+    gauge_tools.h:55).  Checkerboard sweeps: at each site the local
+    functional Σ_mu Re tr[g U_mu(x) + U_mu(x-mu) g^dag] is maximised by
+    g = Proj_SU3(w^dag), w = Σ_mu [U_mu(x) + U_mu^dag(x-mu)]
+    (full-SU(3) polar projection instead of the reference's SU(2)
+    subgroup hits — same fixed points).  Returns (u_fixed, theta) with
+    theta the standard gauge-fixing quality functional."""
+    from quda_qkxtm_multigrid_tpu.ops.smallmat import mat_dag
+    from quda_qkxtm_multigrid_tpu.utils.rng import su3_project_leading
+    import jax
+
+    dirs = tuple(range(gauge_dir))   # 0..2 Coulomb, 0..3 Landau
+
+    def sweep(u, parity):
+        w = None
+        for mu in dirs:
+            fwd = u[mu, parity]
+            bwd = mat_dag(gather_neighbor(u[mu, 1 - parity], mu, False,
+                                          parity, geom))
+            t = fwd + bwd
+            w = t if w is None else w + t
+        g = su3_project_leading(jnp.conj(jnp.swapaxes(w, 0, 1)))
+        # apply: U_mu(x in p) <- g(x) U_mu(x); U_mu(x-mu), x in p: right-
+        # multiply by g(x)^dag: for links on the OTHER parity ending at p
+        out = []
+        for mu in range(4):
+            per = [None, None]
+            if mu in dirs:
+                per[parity] = _mm(g, u[mu, parity])
+                g_fwd = gather_neighbor(g, mu, True, 1 - parity, geom)
+                per[1 - parity] = _mm(u[mu, 1 - parity], mat_dag(g_fwd))
+            else:
+                # gauge_dir<4: temporal links still transform
+                per[parity] = _mm(g, u[mu, parity])
+                g_fwd = gather_neighbor(g, mu, True, 1 - parity, geom)
+                per[1 - parity] = _mm(u[mu, 1 - parity], mat_dag(g_fwd))
+            out.append(jnp.stack(per))
+        return jnp.stack(out)
+
+    def body(i, u):
+        u = sweep(u, 0)
+        u = sweep(u, 1)
+        return u
+
+    u = jax.lax.fori_loop(0, n_iter, body, u)
+    # theta functional: |sum_mu (A_mu(x) - A_mu(x-mu))|^2 proxy via
+    # deviation of w from a constant times identity
+    w = None
+    for mu in dirs:
+        d = u[mu] - jnp.stack([
+            gather_neighbor(u[mu, 1], mu, False, 0, geom),
+            gather_neighbor(u[mu, 0], mu, False, 1, geom)])
+        w = d if w is None else w + d
+    anti = 0.5 * (w - jnp.conj(jnp.swapaxes(w, 1, 2)))
+    theta = jnp.sum(jnp.abs(anti) ** 2) / (3 * geom.volume)
+    return u, theta

@@ -222,3 +222,84 @@ def run_loops(u, geom: Geometry, kappa: float, mu: float, csw: float,
             a = a + getattr(corr, field) / max(n_hp, 1)
         out[name] = con.fft_project(a)
     return out
+
+
+def run_loops_wexact(u, geom: Geometry, kappa: float, mu: float, csw: float,
+                     nev: int, n_stoch: int, key, tol: float = 1e-8,
+                     maxiter: int = 1000, ncv: Optional[int] = None,
+                     lanczos_tol: float = 1e-6):
+    """Disconnected loops with exact low-mode deflation — the analogue of
+    calcMG_loop_wOneD_TSM_wExact (reference interface_quda.cpp:7093):
+    eigensolve → exact low-mode loop contribution per mode → stochastic
+    remainder with deflation-space-projected sources.
+
+    TPU-native deflation: thick-restart Lanczos on the HPD even-odd
+    MdagM (replacing ARPACK on the full op, SURVEY.md §7 hard-part 5);
+    the exact contribution uses M⁻¹ = M†(M†M)⁻¹ restricted to the
+    deflation space, reconstructed to the full lattice through the Schur
+    machinery."""
+    from quda_qkxtm_multigrid_tpu.physics import loops as lp
+    from quda_qkxtm_multigrid_tpu.solvers.eigen import (
+        lanczos, deflate_guess, project_out)
+    from quda_qkxtm_multigrid_tpu.utils.rng import z4_source
+
+    kind = "twisted-clover" if csw != 0.0 else "twisted-mass"
+    d = make_dirac(u, DiracParams(kind=kind, kappa=kappa, mu=mu, csw=csw),
+                   geom)
+    plain = lp.plain_wilson_partner(d)
+
+    # deflation space of the PC normal operator
+    b0 = fields.zeros_spinor(geom, dtype=u.dtype)[0]
+    eig = lanczos(d.matpc_dagm, b0, nev=nev, ncv=ncv, tol=lanczos_tol,
+                  key=key)
+
+    # exact low-mode contribution: for each mode, the solution of
+    # M x = v_full with v the mode embedded through prepare/reconstruct:
+    # x_pc = matpc† v / λ reconstructed — contributions accumulated with
+    # the same one-end contraction as the stochastic part
+    @jax.jit
+    def exact_mode(d_arg, vec, lam):
+        x_pc = d_arg.matpc(vec, dagger=True) / lam.astype(vec.dtype)
+        # embed: loop estimate uses psi = M^{-1} xi with xi -> v_full;
+        # here the pair (v_full, x_full) enters the same contraction
+        zeros = jnp.zeros_like(vec)
+        v_full = jnp.stack([vec, zeros])
+        x_full = d_arg.reconstruct(x_pc, v_full)
+        return lp.one_end_trick(x_full, plain, geom)
+
+    acc = None
+    for i in range(nev):
+        res = exact_mode(d, eig.evecs[i], eig.evals[i])
+        acc = res if acc is None else lp.LoopResult(
+            *(a + b for a, b in zip(acc, res)))
+
+    # stochastic remainder with projected sources
+    @jax.jit
+    def one_sample(key):
+        xi = z4_source(key, geom, dtype=u.dtype)
+        src = d.prepare(xi)
+        src = project_out(eig.evecs, src)
+        x0 = deflate_guess(eig.evecs, eig.evals, d.matpc(src, dagger=True))
+        from quda_qkxtm_multigrid_tpu.solvers.cg import cg
+        rhs = d.matpc(src, dagger=True)
+        sol = cg(d.matpc_dagm, rhs, x0=x0, tol=tol, maxiter=maxiter)
+        x = d.reconstruct(sol.x, xi)
+        return lp.one_end_trick(x, plain, geom)
+
+    stoch = None
+    for i in range(n_stoch):
+        key, sub = jax.random.split(key)
+        res = one_sample(sub)
+        stoch = res if stoch is None else lp.LoopResult(
+            *(a + b for a, b in zip(stoch, res)))
+
+    names = {"Scalar": "std", "dOp": "gen", "LpsDw": "der_std",
+             "LpsDwCv": "der_gen", "Loops": "cons_std",
+             "LoopsCv": "cons_gen"}
+    out = {}
+    for name, field in names.items():
+        a = getattr(acc, field) if acc is not None else 0.0
+        if stoch is not None and n_stoch > 0:
+            a = a + getattr(stoch, field) / n_stoch
+        out[name] = con.fft_project(a)
+    return out, eig

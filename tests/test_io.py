@@ -71,3 +71,48 @@ class TestHDF5:
         with h5py.File(p) as f:
             assert ("conf_0001/sx00sy00sz00st00/tsink_06/proj_G4/proton/"
                     "ultra_local/mom_xyz_+0_+0_+0") in f
+
+
+class TestCheckpoint:
+    def test_roundtrips(self, tmp_path):
+        from quda_qkxtm_multigrid_tpu.utils import checkpoint as ck
+        import numpy as np
+        v = np.random.randn(4, 2, 2, 2, 2, 16, 4, 3) + 0j
+        ck.save_null_vectors(str(tmp_path / "nv.npz"), v)
+        np.testing.assert_allclose(ck.load_null_vectors(
+            str(tmp_path / "nv.npz")), v)
+        ev = np.random.randn(5)
+        evec = np.random.randn(5, 24) + 1j
+        ck.save_eigenpairs(str(tmp_path / "eig.npz"), ev, evec)
+        e2, v2 = ck.load_eigenpairs(str(tmp_path / "eig.npz"))
+        np.testing.assert_allclose(e2, ev)
+        np.testing.assert_allclose(v2, evec)
+
+
+class TestGaugeTools:
+    def test_qcharge_gauge_invariant(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from quda_qkxtm_multigrid_tpu.ops.gauge import (
+            topological_charge, gauge_transform)
+        from quda_qkxtm_multigrid_tpu.utils import rng as _rng
+        u = _rng.random_gauge(jax.random.PRNGKey(3), GEOM)
+        g = jnp.moveaxis(_rng.random_su3(jax.random.PRNGKey(4),
+                                         (2,) + GEOM.lat_shape), (0, 1), (1, 2))
+        q1 = topological_charge(u, GEOM)
+        q2 = topological_charge(gauge_transform(u, g, GEOM), GEOM)
+        np.testing.assert_allclose(float(q1), float(q2), rtol=1e-10)
+
+    def test_gauge_fixing_improves_theta(self):
+        import jax
+        import numpy as np
+        from quda_qkxtm_multigrid_tpu.ops.gauge import gauge_fix_ovr, plaquette
+        from quda_qkxtm_multigrid_tpu.utils import rng as _rng
+        u = _rng.random_gauge(jax.random.PRNGKey(5), GEOM)
+        _, th0 = gauge_fix_ovr(u, GEOM, n_iter=0)
+        uf, th1 = gauge_fix_ovr(u, GEOM, n_iter=40)
+        assert float(th1) < 0.5 * float(th0)
+        p0 = plaquette(u, GEOM)[0]
+        p1 = plaquette(uf, GEOM)[0]
+        np.testing.assert_allclose(float(p0), float(p1), rtol=1e-12)
