@@ -82,10 +82,10 @@ class Dirac:
     # ---- hopping ----------------------------------------------------
     def dslash(self, psi_opp, parity: int, dagger: bool = False):
         if self.params.use_pallas and self.u_doubled is not None:
-            from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
-                dslash_parity_pallas)
-            return dslash_parity_pallas(self.u_doubled, psi_opp, parity,
-                                        self.geom, dagger)
+            from quda_qkxtm_multigrid_tpu.ops.dslash_pallas2 import (
+                dslash_parity_pallas2)
+            return dslash_parity_pallas2(self.u_doubled, psi_opp, parity,
+                                         self.geom, dagger, recon12=True)
         return _dsl.dslash_parity(self.u, psi_opp, parity, self.geom, dagger)
 
     # ---- parity-diagonal term A ------------------------------------
