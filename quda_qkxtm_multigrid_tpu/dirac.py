@@ -54,6 +54,7 @@ class DiracParams:
     matpc_parity: int = 0       # 0 = even-even, 1 = odd-odd
     asymmetric: bool = False    # asymmetric Schur variant
     use_pallas: bool = False    # Pallas dslash fast path (c64, 1 chip)
+    pallas_bf16: bool = False   # bf16 operand tier (the 'half' analogue)
 
     @property
     def has_twist(self) -> bool:
@@ -85,7 +86,8 @@ class Dirac:
             from quda_qkxtm_multigrid_tpu.ops.dslash_pallas2 import (
                 dslash_parity_pallas2)
             return dslash_parity_pallas2(self.u_doubled, psi_opp, parity,
-                                         self.geom, dagger, recon12=True)
+                                         self.geom, dagger, recon12=True,
+                                         bf16=self.params.pallas_bf16)
         return _dsl.dslash_parity(self.u, psi_opp, parity, self.geom, dagger)
 
     # ---- parity-diagonal term A ------------------------------------

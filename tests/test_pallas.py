@@ -1,0 +1,53 @@
+"""Pallas dslash kernels vs the XLA formulation (interpret mode on CPU;
+the on-device numbers live in bench.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quda_qkxtm_multigrid_tpu.lattice import Geometry
+from quda_qkxtm_multigrid_tpu.ops import dslash as dsl
+from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import dslash_parity_pallas
+from quda_qkxtm_multigrid_tpu.ops.dslash_pallas2 import dslash_parity_pallas2
+from quda_qkxtm_multigrid_tpu.utils import rng
+
+GEOM = Geometry(8, 4, 4, 8)
+
+
+@pytest.fixture(scope="module")
+def fields():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    u = rng.random_gauge(k1, GEOM, dtype=jnp.complex64)
+    psi = rng.random_spinor(k2, GEOM, dtype=jnp.complex64)
+    return u, dsl.double_gauge(u, GEOM), psi
+
+
+@pytest.mark.parametrize("parity", [0, 1])
+@pytest.mark.parametrize("dagger", [False, True])
+def test_v1_matches_xla(fields, parity, dagger):
+    u, ud, psi = fields
+    ref = dsl.dslash_parity(u, psi[1 - parity], parity, GEOM, dagger)
+    got = dslash_parity_pallas(ud, psi[1 - parity], parity, GEOM, dagger,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("recon12", [False, True])
+@pytest.mark.parametrize("parity", [0, 1])
+def test_v2_matches_xla(fields, parity, recon12):
+    u, ud, psi = fields
+    ref = dsl.dslash_parity(u, psi[1 - parity], parity, GEOM)
+    got = dslash_parity_pallas2(ud, psi[1 - parity], parity, GEOM, zb=2,
+                                interpret=True, recon12=recon12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_v2_bf16_close(fields):
+    u, ud, psi = fields
+    ref = dsl.dslash_parity(u, psi[1], 0, GEOM)
+    got = dslash_parity_pallas2(ud, psi[1], 0, GEOM, zb=4, interpret=True,
+                                bf16=True, recon12=True)
+    rel = float(jnp.linalg.norm((got - ref).ravel())
+                / jnp.linalg.norm(ref.ravel()))
+    assert rel < 0.03, rel     # bf16 has ~3 decimal digits
