@@ -56,6 +56,23 @@ class DiracParams:
     use_pallas: bool = False    # Pallas dslash fast path (c64, 1 chip)
     pallas_bf16: bool = False   # bf16 operand tier (the 'half' analogue)
 
+    def __post_init__(self):
+        # the role of checkInvertParam (reference lib/check_params.h)
+        kinds = ("wilson", "twisted-mass", "clover", "twisted-clover")
+        if self.kind not in kinds:
+            raise ValueError(f"unknown operator kind {self.kind!r}; "
+                             f"one of {kinds}")
+        if not (0.0 < self.kappa < 1.0):
+            raise ValueError(f"kappa={self.kappa} outside (0, 1)")
+        if self.kind in ("clover", "twisted-clover") and self.csw == 0.0:
+            raise ValueError(f"{self.kind} requires csw != 0")
+        if self.kind in ("twisted-mass", "twisted-clover") and self.mu == 0.0:
+            raise ValueError(f"{self.kind} requires mu != 0")
+        if self.flavor not in (+1, -1):
+            raise ValueError("flavor must be +1 or -1")
+        if self.matpc_parity not in (0, 1):
+            raise ValueError("matpc_parity must be 0 or 1")
+
     @property
     def has_twist(self) -> bool:
         return self.kind in ("twisted-mass", "twisted-clover")
@@ -190,6 +207,15 @@ class Dirac:
         return (per_site + 48 + extra) * self.geom.volume
 
 
+def make_dirac_jit(u, params: DiracParams, geom: Geometry) -> Dirac:
+    """jit-compiled make_dirac: clover construction and gauge doubling
+    run on-device in one program (eager complex ops are unsupported on
+    some TPU backends)."""
+    import functools
+    return jax.jit(make_dirac, static_argnames=("params", "geom"))(
+        u, params, geom)
+
+
 def make_dirac(u, params: DiracParams, geom: Geometry,
                clover=None, clover_inv=None) -> Dirac:
     """Factory, the analogue of Dirac::create (reference lib/dirac.cpp:140).
@@ -201,3 +227,15 @@ def make_dirac(u, params: DiracParams, geom: Geometry,
     u_doubled = _dsl.double_gauge(u, geom) if params.use_pallas else None
     return Dirac(u=u, params=params, geom=geom, clover=clover,
                  clover_inv=clover_inv, u_doubled=u_doubled)
+
+
+def as_sloppy(dirac: Dirac, **param_overrides) -> Dirac:
+    """Sloppy-tier view of an operator SHARING its field arrays (no
+    duplicate gauge/clover HBM; the bf16/precision change happens at the
+    kernel operand level).  The analogue of the reference's
+    dSloppy/dPre built over the sloppy resident gauge
+    (reference interface_quda.cpp createDirac)."""
+    params = dataclasses.replace(dirac.params, **param_overrides)
+    return Dirac(u=dirac.u, params=params, geom=dirac.geom,
+                 clover=dirac.clover, clover_inv=dirac.clover_inv,
+                 u_doubled=dirac.u_doubled)

@@ -4,3 +4,4 @@ from quda_qkxtm_multigrid_tpu.solvers.mr import mr
 from quda_qkxtm_multigrid_tpu.solvers.gcr import gcr, GCRResult
 from quda_qkxtm_multigrid_tpu.solvers.multishift import multishift_cg, MultiShiftResult
 from quda_qkxtm_multigrid_tpu.solvers.msrc import msrc_cg, MultiSrcResult
+from quda_qkxtm_multigrid_tpu.solvers.eigen import lanczos, chebyshev_op, deflate_guess, project_out, EigResult

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from quda_qkxtm_multigrid_tpu.lattice import Geometry
 from quda_qkxtm_multigrid_tpu import fields
-from quda_qkxtm_multigrid_tpu.dirac import Dirac, DiracParams, make_dirac
+from quda_qkxtm_multigrid_tpu.dirac import (
+    Dirac, DiracParams, make_dirac, make_dirac_jit)
 from quda_qkxtm_multigrid_tpu.invert import invert
 from quda_qkxtm_multigrid_tpu.ops.smear import ape_smear, gaussian_smear
 from quda_qkxtm_multigrid_tpu.ops.gamma import apply_gamma5
@@ -61,6 +62,11 @@ def forward_prop(dirac, u_ape, geom, coords, alpha=4.0, nsmear=50,
             if verbose:
                 print(f"  column {spin}{color}: true_res={float(res):.2e}")
             cols.append(x)
+    return _assemble_prop(cols)
+
+
+@jax.jit
+def _assemble_prop(cols):
     sols = jnp.stack(cols).reshape((4, 3) + cols[0].shape)
     return jnp.transpose(sols, (2, 3, 0, 4, 1, 5, 6, 7))
 
@@ -77,8 +83,8 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
     u_ape = _ape(u, geom, ape_alpha, ape_n)
     props = {}
     for name, flavor in (("up", +1), ("dn", -1)):
-        d = make_dirac(u, DiracParams(kind=kind, kappa=kappa, mu=mu,
-                                      csw=csw, flavor=flavor), geom)
+        d = make_dirac_jit(u, DiracParams(kind=kind, kappa=kappa, mu=mu,
+                                          csw=csw, flavor=flavor), geom)
         p = forward_prop(d, u_ape, geom, source, gauss_alpha, gauss_n,
                          tol, maxiter, verbose)
         props[name] = jax.jit(rotate_to_physical,
@@ -153,12 +159,12 @@ def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
             # solve with opposite flavor (reference :6650-6700:
             # part1 → MINUS twist for proton)
             flavor = -particle if partflag == 1 else +particle
-            d = make_dirac(u, DiracParams(kind=kind, kappa=kappa, mu=mu,
-                                          csw=csw, flavor=flavor), geom)
+            d = make_dirac_jit(u, DiracParams(kind=kind, kappa=kappa,
+                                              mu=mu, csw=csw,
+                                              flavor=flavor), geom)
             cols = [_seq_col(d, u_ape, src[q, s])
                     for q in range(4) for s in range(3)]
-            seqsol = jnp.stack(cols).reshape((4, 3) + cols[0].shape)
-            seqprop = jnp.transpose(seqsol, (2, 3, 0, 4, 1, 5, 6, 7))
+            seqprop = _assemble_prop(cols)
             loc, noe, oneD = _fixsink(seqprop, prop_up, u, partflag)
             results[proj_name][f"part{partflag}"] = {
                 "ultra_local": loc, "noether": noe, "oneD": oneD}
@@ -176,8 +182,8 @@ def run_loops(u, geom: Geometry, kappa: float, mu: float, csw: float,
     from quda_qkxtm_multigrid_tpu.utils.rng import z4_source
 
     kind = "twisted-clover" if csw != 0.0 else "twisted-mass"
-    d = make_dirac(u, DiracParams(kind=kind, kappa=kappa, mu=mu, csw=csw),
-                   geom)
+    d = make_dirac_jit(u, DiracParams(kind=kind, kappa=kappa, mu=mu,
+                                      csw=csw), geom)
     plain = lp.plain_wilson_partner(d)
     solve_tol = tol_lp if tol_lp is not None else tol
 
@@ -244,8 +250,8 @@ def run_loops_wexact(u, geom: Geometry, kappa: float, mu: float, csw: float,
     from quda_qkxtm_multigrid_tpu.utils.rng import z4_source
 
     kind = "twisted-clover" if csw != 0.0 else "twisted-mass"
-    d = make_dirac(u, DiracParams(kind=kind, kappa=kappa, mu=mu, csw=csw),
-                   geom)
+    d = make_dirac_jit(u, DiracParams(kind=kind, kappa=kappa, mu=mu,
+                                      csw=csw), geom)
     plain = lp.plain_wilson_partner(d)
 
     # deflation space of the PC normal operator
