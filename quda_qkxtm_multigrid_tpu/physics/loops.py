@@ -126,6 +126,9 @@ def stochastic_loops(solve: Callable, key, dirac: Dirac, geom: Geometry,
         xi = z4_source(sub, geom, dtype=dtype)
         x = solve(xi)
         res = one_end_trick(x, plain, geom)
-        acc = res if acc is None else LoopResult(
-            *(a + b for a, b in zip(acc, res)))
+        if acc is None:
+            acc = res
+        else:
+            import jax as _jax
+            acc = _jax.jit(lambda a, b: _jax.tree.map(jnp.add, a, b))(acc, res)
     return acc

@@ -35,6 +35,9 @@ from quda_qkxtm_multigrid_tpu.physics.propagator import (
     rotate_to_physical, smear_propagator)
 
 
+_tree_add = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
+
+
 @partial(jax.jit, static_argnames=("geom", "alpha", "nsteps"))
 def _ape(u, geom, alpha, nsteps):
     return ape_smear(u, geom, alpha, nsteps)
@@ -132,9 +135,9 @@ def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
                else tp.seq_source_part2(up3d, proj_arr))
         return tp.embed_timeslice(seq, geom, ts, prop_up.dtype)
 
-    @jax.jit
-    def _seq_col(d, u_ape, b):
-        b = apply_gamma5(b)
+    @partial(jax.jit, static_argnames=("q", "s"))
+    def _seq_col(d, u_ape, src, q, s):
+        b = apply_gamma5(src[q, s])
         b = gaussian_smear(b, u_ape, geom, gauss_alpha, gauss_n)
         return invert(d, b, tol=tol, maxiter=maxiter).x
 
@@ -162,7 +165,7 @@ def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
             d = make_dirac_jit(u, DiracParams(kind=kind, kappa=kappa,
                                               mu=mu, csw=csw,
                                               flavor=flavor), geom)
-            cols = [_seq_col(d, u_ape, src[q, s])
+            cols = [_seq_col(d, u_ape, src, q=q, s=s)
                     for q in range(4) for s in range(3)]
             seqprop = _assemble_prop(cols)
             loc, noe, oneD = _fixsink(seqprop, prop_up, u, partflag)
@@ -187,33 +190,29 @@ def run_loops(u, geom: Geometry, kappa: float, mu: float, csw: float,
     plain = lp.plain_wilson_partner(d)
     solve_tol = tol_lp if tol_lp is not None else tol
 
-    @jax.jit
-    def one_sample(key):
+    @partial(jax.jit, static_argnames=("stol", "smax"))
+    def one_sample(d, plain, key, stol, smax):
         xi = z4_source(key, geom, dtype=u.dtype)
-        x = invert(d, xi, tol=solve_tol, maxiter=maxiter).x
+        x = invert(d, xi, tol=stol, maxiter=smax).x
         return lp.one_end_trick(x, plain, geom)
 
-    @jax.jit
-    def one_sample_hp(key):
-        xi = z4_source(key, geom, dtype=u.dtype)
-        x_lp = invert(d, xi, tol=solve_tol, maxiter=maxiter).x
-        x_hp = invert(d, xi, tol=tol, maxiter=4 * maxiter).x
-        lo = lp.one_end_trick(x_lp, plain, geom)
-        hi = lp.one_end_trick(x_hp, plain, geom)
-        return lp.LoopResult(*(h - l for h, l in zip(hi, lo)))
+    _tree_sub = jax.jit(lambda a, b: jax.tree.map(jnp.subtract, a, b))
 
     acc = None
     for i in range(n_stoch):
         key, sub = jax.random.split(key)
-        res = one_sample(sub)
-        acc = res if acc is None else lp.LoopResult(
-            *(a + b for a, b in zip(acc, res)))
+        res = one_sample(d, plain, sub, stol=solve_tol, smax=maxiter)
+        acc = res if acc is None else _tree_add(acc, res)
     corr = None
     for i in range(n_hp):
+        # TSM bias correction: paired HP/LP solves of the SAME source
+        # (same key -> identical Z4 noise; separate programs — a fused
+        # HP+LP double-solve graph trips the backend miscompilation)
         key, sub = jax.random.split(key)
-        res = one_sample_hp(sub)
-        corr = res if corr is None else lp.LoopResult(
-            *(a + b for a, b in zip(corr, res)))
+        hi = one_sample(d, plain, sub, stol=tol, smax=4 * maxiter)
+        lo = one_sample(d, plain, sub, stol=solve_tol, smax=maxiter)
+        res = _tree_sub(hi, lo)
+        corr = res if corr is None else _tree_add(corr, res)
     out = {}
     # loop-type naming per the reference's loop_type list
     # (qudaQKXTM_Kepler_utils.h): Scalar=std local, dOp=gen local,
@@ -222,12 +221,17 @@ def run_loops(u, geom: Geometry, kappa: float, mu: float, csw: float,
     names = {"Scalar": "std", "dOp": "gen", "LpsDw": "der_std",
              "LpsDwCv": "der_gen", "Loops": "cons_std",
              "LoopsCv": "cons_gen"}
-    for name, field in names.items():
-        a = getattr(acc, field) / n_stoch
-        if corr is not None:
-            a = a + getattr(corr, field) / max(n_hp, 1)
-        out[name] = con.fft_project(a)
-    return out
+    @jax.jit
+    def _finalize(acc, corr):
+        res = {}
+        for name, field in names.items():
+            a = getattr(acc, field) / n_stoch
+            if corr is not None:
+                a = a + getattr(corr, field) / max(n_hp, 1)
+            res[name] = con.fft_project(a)
+        return res
+
+    return _finalize(acc, corr)
 
 
 def run_loops_wexact(u, geom: Geometry, kappa: float, mu: float, csw: float,
@@ -264,48 +268,51 @@ def run_loops_wexact(u, geom: Geometry, kappa: float, mu: float, csw: float,
     # x_pc = matpc† v / λ reconstructed — contributions accumulated with
     # the same one-end contraction as the stochastic part
     @jax.jit
-    def exact_mode(d_arg, vec, lam):
+    def exact_mode(d_arg, plain_arg, vec, lam):
         x_pc = d_arg.matpc(vec, dagger=True) / lam.astype(vec.dtype)
         # embed: loop estimate uses psi = M^{-1} xi with xi -> v_full;
         # here the pair (v_full, x_full) enters the same contraction
         zeros = jnp.zeros_like(vec)
         v_full = jnp.stack([vec, zeros])
         x_full = d_arg.reconstruct(x_pc, v_full)
-        return lp.one_end_trick(x_full, plain, geom)
+        return lp.one_end_trick(x_full, plain_arg, geom)
 
     acc = None
     for i in range(nev):
-        res = exact_mode(d, eig.evecs[i], eig.evals[i])
-        acc = res if acc is None else lp.LoopResult(
-            *(a + b for a, b in zip(acc, res)))
+        res = exact_mode(d, plain, eig.evecs[i], eig.evals[i])
+        acc = res if acc is None else _tree_add(acc, res)
 
     # stochastic remainder with projected sources
     @jax.jit
-    def one_sample(key):
+    def one_sample(d_arg, plain_arg, evals, evecs, key):
         xi = z4_source(key, geom, dtype=u.dtype)
-        src = d.prepare(xi)
-        src = project_out(eig.evecs, src)
-        x0 = deflate_guess(eig.evecs, eig.evals, d.matpc(src, dagger=True))
+        src = d_arg.prepare(xi)
+        src = project_out(evecs, src)
+        x0 = deflate_guess(evecs, evals, d_arg.matpc(src, dagger=True))
         from quda_qkxtm_multigrid_tpu.solvers.cg import cg
-        rhs = d.matpc(src, dagger=True)
-        sol = cg(d.matpc_dagm, rhs, x0=x0, tol=tol, maxiter=maxiter)
-        x = d.reconstruct(sol.x, xi)
-        return lp.one_end_trick(x, plain, geom)
+        rhs = d_arg.matpc(src, dagger=True)
+        sol = cg(d_arg.matpc_dagm, rhs, x0=x0, tol=tol, maxiter=maxiter)
+        x = d_arg.reconstruct(sol.x, xi)
+        return lp.one_end_trick(x, plain_arg, geom)
 
     stoch = None
     for i in range(n_stoch):
         key, sub = jax.random.split(key)
-        res = one_sample(sub)
-        stoch = res if stoch is None else lp.LoopResult(
-            *(a + b for a, b in zip(stoch, res)))
+        res = one_sample(d, plain, eig.evals, eig.evecs, sub)
+        stoch = res if stoch is None else _tree_add(stoch, res)
 
     names = {"Scalar": "std", "dOp": "gen", "LpsDw": "der_std",
              "LpsDwCv": "der_gen", "Loops": "cons_std",
              "LoopsCv": "cons_gen"}
-    out = {}
-    for name, field in names.items():
-        a = getattr(acc, field) if acc is not None else 0.0
-        if stoch is not None and n_stoch > 0:
-            a = a + getattr(stoch, field) / n_stoch
-        out[name] = con.fft_project(a)
-    return out, eig
+
+    @jax.jit
+    def _finalize(acc, stoch):
+        res = {}
+        for name, field in names.items():
+            a = getattr(acc, field) if acc is not None else 0.0
+            if stoch is not None and n_stoch > 0:
+                a = a + getattr(stoch, field) / n_stoch
+            res[name] = con.fft_project(a)
+        return res
+
+    return _finalize(acc, stoch), eig
