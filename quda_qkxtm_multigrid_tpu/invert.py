@@ -51,3 +51,17 @@ def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
     r = b - dirac.m(x)
     true_res = jnp.sqrt(jnp.real(jnp.vdot(r, r)) / jnp.real(jnp.vdot(b, b)))
     return InvertResult(x, res.iters, true_res)
+
+
+@jax.jit
+def true_residual(dirac: Dirac, x, b):
+    """(r, |r|/|b|) of the full operator in ONE safe jit program.
+
+    Returns the residual FIELD alongside the scalar deliberately: on the
+    axon TPU backend a program computing b − M(x) whose only outputs are
+    scalar reductions miscompiles (reads a garbage norm); keeping r in
+    the outputs produces the correct value.  Use this — not a bare
+    jnp.vdot program — for convergence checks in drives and tests."""
+    r = b - dirac.m(x)
+    rel = jnp.sqrt(jnp.real(jnp.vdot(r, r)) / jnp.real(jnp.vdot(b, b)))
+    return r, rel

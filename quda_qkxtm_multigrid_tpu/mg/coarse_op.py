@@ -80,7 +80,32 @@ class CoarseOperator:
         return (8 * (8 * n * n) - 2 * n) * vc
 
 
-def build_coarse_op(transfer: Transfer, diag_apply: Callable,
+def coarse_diag_hops(op: CoarseOperator):
+    """Split a CoarseOperator into (diag_apply, hop_terms) over the
+    coarse field layout [2, nc, T,Z,Y,X] — the probe inputs for
+    constructing the NEXT level (the role of CoarseCoarseOp,
+    reference lib/coarsecoarse_op.cu)."""
+    dof = op.bg.coarse_dof
+
+    def diag_apply(vc):
+        v = vc.reshape((dof,) + vc.shape[2:])
+        out = heinsum("ab...,b...->a...", op.x, v)
+        return out.reshape(vc.shape)
+
+    hop_terms = []
+    for d in range(8):
+        def h(vc, d=d):
+            mu = d // 2
+            shift = -1 if d % 2 == 0 else 1   # fwd hop reads v(x+mu)
+            v = vc.reshape((dof,) + vc.shape[2:])
+            nb = jnp.roll(v, shift, axis=_axis_of_mu(mu))
+            out = heinsum("ab...,b...->a...", op.y[d], nb)
+            return out.reshape(vc.shape)
+        hop_terms.append(h)
+    return diag_apply, hop_terms
+
+
+def build_coarse_op(transfer, diag_apply: Callable,
                     hop_terms: list[Callable], dtype) -> CoarseOperator:
     """Probe the fine operator into coarse X and Y.
 

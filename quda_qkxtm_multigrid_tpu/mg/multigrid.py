@@ -49,10 +49,17 @@ class MGParams:
     coarse_nkrylov: int = 10          # multigrid.cpp:229-272
     coarse_maxiter_restarts: int = 1  # GCR restarts on the coarse level
     coarse_tol: float = 0.25
+    # level >= 2 (n_level <= QUDA_MAX_MG_LEVEL = 4, quda_constants.h:44)
+    n_level: int = 2
+    block2: tuple = (2, 2, 2, 2)      # aggregation of the coarse lattice
+    nvec2: int = 24
+    coarse2_nkrylov: int = 8          # bottom-level GCR cycle length
+    setup2_tol: float = 1e-4
+    setup2_maxiter: int = 200
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["transfer", "coarse", "dirac"],
+         data_fields=["transfer", "coarse", "dirac", "transfer2", "coarse2"],
          meta_fields=["params"])
 @dataclasses.dataclass(frozen=True)
 class MGPreconditioner:
@@ -60,6 +67,31 @@ class MGPreconditioner:
     coarse: CoarseOperator
     dirac: Dirac
     params: MGParams
+    transfer2: Optional[Any] = None   # CoarseTransfer (3-level runs)
+    coarse2: Optional[CoarseOperator] = None
+
+    def _coarse_vcycle(self, r1):
+        """Level-1 V-cycle over the coarse operator, correcting through
+        level 2 (the recursion of MG::operator(), lib/multigrid.cpp)."""
+        p = self.params
+        m1 = self.coarse.apply
+        x1 = mr(m1, r1, niter=p.nu_pre, omega=p.omega) \
+            if p.nu_pre > 0 else jnp.zeros_like(r1)
+        rr = r1 - m1(x1) if p.nu_pre > 0 else r1
+        r2 = self.transfer2.restrict(rr)
+        x2 = gcr_cycle(self.coarse2.apply, r2, n_krylov=p.coarse2_nkrylov)
+        x1 = x1 + self.transfer2.prolong(x2)
+        rr = r1 - m1(x1)
+        return x1 + mr(m1, rr, niter=max(p.nu_post, 1), omega=p.omega)
+
+    def coarse_solve(self, rc):
+        """The coarse_solver of the reference (GCR over the coarse op,
+        preconditioned by the next MG level when there is one;
+        multigrid.cpp:229-272)."""
+        p = self.params
+        precond = self._coarse_vcycle if self.transfer2 is not None else None
+        return gcr_cycle(self.coarse.apply, rc, n_krylov=p.coarse_nkrylov,
+                         precond=precond)
 
     def vcycle(self, r):
         """One V(nu_pre, nu_post)-cycle approximating M^{-1} r on the
@@ -71,7 +103,7 @@ class MGPreconditioner:
             x = mr(m, r, niter=p.nu_pre, omega=p.omega)
         rr = r - m(x) if p.nu_pre > 0 else r
         rc = self.transfer.restrict(rr)
-        xc = gcr_cycle(self.coarse.apply, rc, n_krylov=p.coarse_nkrylov)
+        xc = self.coarse_solve(rc)
         x = x + self.transfer.prolong(xc)
         if p.nu_post > 0:
             rr = r - m(x)
@@ -79,36 +111,30 @@ class MGPreconditioner:
         return x
 
 
-def generate_null_vectors(dirac: Dirac, bg: BlockGeometry, key,
-                          params: MGParams):
-    """Near-kernel vectors: loose inverse iteration on random sources
-    (reference MG::generateNullVectors, lib/multigrid.cpp — BiCGstab to
-    setup_tol), then block-orthonormalisation."""
-    vs = []
-    for i in range(bg.nvec):
-        key, sub = jax.random.split(key)
-        b = _rng.random_spinor(sub, dirac.geom, dtype=dirac.u.dtype)
-        res = bicgstab(dirac.m, b, tol=params.setup_tol,
-                       maxiter=params.setup_maxiter)
-        vs.append(res.x)
-    v_blocked = jnp.stack([to_blocked(v, bg) for v in vs])
-    return block_orthonormalize(v_blocked)
+# --- jitted setup pieces --------------------------------------------
+# Every setup step runs as a jit program with the field bundles passed
+# as ARGUMENTS (not closures): the axon TPU backend rejects eager
+# complex reductions, and closures over device arrays become IR
+# constants forcing host transfers (see .claude/skills/verify/SKILL.md).
 
 
-def setup_mg(dirac: Dirac, params: MGParams, key,
-             null_vectors=None) -> MGPreconditioner:
-    """Build the 2-level MG preconditioner (reference MG::MG,
-    lib/multigrid.cpp:11-285 and newMultigridQuda,
-    interface_quda.cpp:2257)."""
-    bx, by, bz, bt = params.block
-    bg = BlockGeometry(dirac.geom, bx, by, bz, bt, params.nvec)
-    if null_vectors is None:
-        v = generate_null_vectors(dirac, bg, key, params)
-    else:
-        v = block_orthonormalize(jnp.stack(
-            [to_blocked(nv, bg) for nv in null_vectors]))
-    transfer = Transfer(v=v, bg=bg)
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def _null_solve(dirac, b, tol, maxiter):
+    return bicgstab(dirac.m, b, tol=tol, maxiter=maxiter).x
 
+
+@partial(jax.jit, static_argnames=("bg",))
+def _ortho_blocked(vs, bg):
+    return block_orthonormalize(jnp.stack([to_blocked(v, bg) for v in vs]))
+
+
+@partial(jax.jit, static_argnames=("geom", "dtype"))
+def _random_spinor(key, geom, dtype):
+    return _rng.random_spinor(key, geom, dtype=dtype)
+
+
+@jax.jit
+def _build_level1(transfer, dirac):
     geom = dirac.geom
     kappa = dirac.params.kappa
 
@@ -122,10 +148,96 @@ def setup_mg(dirac: Dirac, params: MGParams, key,
             def h(psi, mu=mu, sign=sign):
                 return -kappa * _dsl.hop_apply(dirac.u, psi, mu, sign, geom)
             hop_terms.append(h)
+    return build_coarse_op(transfer, diag_apply, hop_terms, dirac.u.dtype)
 
-    coarse = build_coarse_op(transfer, diag_apply, hop_terms, dirac.u.dtype)
+
+def generate_null_vectors(dirac: Dirac, bg: BlockGeometry, key,
+                          params: MGParams):
+    """Near-kernel vectors: loose inverse iteration on random sources
+    (reference MG::generateNullVectors, lib/multigrid.cpp — BiCGstab to
+    setup_tol), then block-orthonormalisation."""
+    vs = []
+    for i in range(bg.nvec):
+        key, sub = jax.random.split(key)
+        b = _random_spinor(sub, dirac.geom, dirac.u.dtype)
+        vs.append(_null_solve(dirac, b, params.setup_tol,
+                              params.setup_maxiter))
+    return _ortho_blocked(vs, bg)
+
+
+def setup_mg(dirac: Dirac, params: MGParams, key,
+             null_vectors=None) -> MGPreconditioner:
+    """Build the MG preconditioner (reference MG::MG,
+    lib/multigrid.cpp:11-285 and newMultigridQuda,
+    interface_quda.cpp:2257); recursive for n_level >= 3."""
+    bx, by, bz, bt = params.block
+    bg = BlockGeometry(dirac.geom, bx, by, bz, bt, params.nvec)
+    if null_vectors is None:
+        v = generate_null_vectors(dirac, bg, key, params)
+    else:
+        v = _ortho_blocked(list(null_vectors), bg)
+    transfer = Transfer(v=v, bg=bg)
+    coarse = _build_level1(transfer, dirac)
+
+    transfer2 = coarse2 = None
+    if params.n_level >= 3:
+        transfer2, coarse2 = setup_coarse_level(coarse, params, key)
     return MGPreconditioner(transfer=transfer, coarse=coarse, dirac=dirac,
-                            params=params)
+                            params=params, transfer2=transfer2,
+                            coarse2=coarse2)
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def _coarse_null_solve(coarse, b, tol, maxiter):
+    return bicgstab(coarse.apply, b, tol=tol, maxiter=maxiter).x
+
+
+@partial(jax.jit, static_argnames=("shape", "dtype"))
+def _random_coarse(key, shape, dtype):
+    real_dt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    br, bi = jax.random.normal(key, (2,) + shape, real_dt)
+    return (br + 1j * bi).astype(dtype)
+
+
+@jax.jit
+def _build_level2(transfer2, coarse):
+    from quda_qkxtm_multigrid_tpu.mg.coarse_op import coarse_diag_hops
+    diag2, hops2 = coarse_diag_hops(coarse)
+    return build_coarse_op(transfer2, diag2, hops2, coarse.x.dtype)
+
+
+def setup_coarse_level(coarse: CoarseOperator, params: MGParams, key):
+    """Build the level-2 transfer + coarse-of-coarse operator by the same
+    null-vector aggregation applied to the explicit coarse operator
+    (reference lib/coarsecoarse_op.cu; null vectors per level,
+    MG::MG recursion multigrid.cpp:220)."""
+    from quda_qkxtm_multigrid_tpu.mg.transfer import (
+        CoarseBlockGeometry, CoarseTransfer, to_blocked_coarse,
+        block_orthonormalize_coarse)
+
+    bg1 = coarse.bg
+    dtype = coarse.x.dtype
+    bx, by, bz, bt = params.block2
+    bg2 = CoarseBlockGeometry(
+        fine_shape=bg1.coarse_shape, fine_ns=2, fine_nc=bg1.nvec,
+        bx=bx, by=by, bz=bz, bt=bt, nvec=params.nvec2)
+
+    fshape = (2, bg1.nvec) + bg1.coarse_shape
+
+    @partial(jax.jit, static_argnames=("bg2_",))
+    def _ortho2(vs, bg2_):
+        return block_orthonormalize_coarse(
+            jnp.stack([to_blocked_coarse(v, bg2_) for v in vs]))
+
+    vs = []
+    for i in range(params.nvec2):
+        key, sub = jax.random.split(key)
+        b = _random_coarse(sub, fshape, dtype)
+        vs.append(_coarse_null_solve(coarse, b, params.setup2_tol,
+                                     params.setup2_maxiter))
+    transfer2 = CoarseTransfer(v=_ortho2(vs, bg2), bg=bg2)
+    coarse2 = _build_level2(transfer2, coarse)
+    return transfer2, coarse2
 
 
 @partial(jax.jit, static_argnames=("n_krylov",))
@@ -143,19 +255,14 @@ _norm2 = jax.jit(lambda v: jnp.real(jnp.vdot(v, v)))
 
 
 @jax.jit
-def _true_r2(mg, x, b):
-    """|b - M x|² in its OWN XLA program: if computed inside the cycle
-    graph, XLA algebraically folds b - M(x+e) back into the recursed
-    GCR residual, which collapses orders of magnitude below the true
-    residual in complex64 (observed 2.8e-9 vs 103 for identical x) and
-    falsely terminates the restart loop."""
-    r = b - mg.dirac.m(x)
-    return jnp.real(jnp.vdot(r, r))
-
-
-@jax.jit
 def _mr_resid(mg, x, b):
-    """(r, |r|²) in its own program — see mg_solve docstring."""
+    """(r, |r|²) in its own program — see mg_solve docstring.
+
+    MUST return the residual FIELD alongside the scalar: a jit program
+    computing b − M(x) whose only outputs are reductions of it
+    miscompiles on the axon TPU backend (observed r² = 123 where the
+    true value, confirmed by host-side numpy on fetched arrays, is
+    9.8e-10; adding r to the outputs yields the correct scalar)."""
     r = b - mg.dirac.m(x)
     return r, jnp.real(jnp.vdot(r, r))
 
@@ -205,7 +312,7 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
         return GCRResult(x, jnp.asarray(iters), r2)
     for i in range(max_restarts):
         x = _mg_cycle(mg, x, b, n_krylov)
-        r2 = _true_r2(mg, x, b)
+        _, r2 = _mr_resid(mg, x, b)
         iters += n_krylov
         if float(r2) <= tol * tol * b2:
             break

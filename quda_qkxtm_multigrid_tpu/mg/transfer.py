@@ -95,17 +95,11 @@ def _chiral_split(blk):
     return blk.reshape(blk.shape[:-2] + (2, 2, 3))
 
 
-def block_orthonormalize(v_blocked):
-    """Gram-Schmidt the n_vec vectors within every (aggregate, chirality)
-    independently (reference BlockOrthogonalize, lib/transfer_util.cu:567).
-
-    v_blocked [nvec, Tc,Zc,Yc,Xc, bv, 4, 3] → same, orthonormal per
-    (aggregate, chirality)."""
-    nvec = v_blocked.shape[0]
-    v = _chiral_split(v_blocked)   # [nvec, Tc,Zc,Yc,Xc, bv, 2, 2, 3]
-    # inner product axes: bv(-4), s(-2), col(-1); chirality (-3) separate
-    axes = (-4, -2, -1)
-
+def _block_gs(v, axes):
+    """Modified Gram-Schmidt over the leading (nvec) axis, inner product
+    summed over ``axes``; all other axes (aggregate site, chirality) are
+    independent orthonormalisation blocks."""
+    nvec = v.shape[0]
     ortho = []
     for k in range(nvec):
         vk = v[k]
@@ -115,7 +109,18 @@ def block_orthonormalize(v_blocked):
         nrm = jnp.sqrt(jnp.sum(jnp.abs(vk) ** 2, axis=axes, keepdims=True))
         vk = vk / jnp.where(nrm > 0, nrm, 1.0)
         ortho.append(vk)
-    out = jnp.stack(ortho)
+    return jnp.stack(ortho)
+
+
+def block_orthonormalize(v_blocked):
+    """Gram-Schmidt the n_vec vectors within every (aggregate, chirality)
+    independently (reference BlockOrthogonalize, lib/transfer_util.cu:567).
+
+    v_blocked [nvec, Tc,Zc,Yc,Xc, bv, 4, 3] → same, orthonormal per
+    (aggregate, chirality)."""
+    v = _chiral_split(v_blocked)   # [nvec, Tc,Zc,Yc,Xc, bv, 2, 2, 3]
+    # inner product axes: bv(-4), s(-2), col(-1); chirality (-3) separate
+    out = _block_gs(v, axes=(-4, -2, -1))
     return out.reshape(v_blocked.shape)
 
 
@@ -146,3 +151,96 @@ class Transfer:
     def flops(self) -> int:
         """8 * nvec * fine-dof per site (reference transfer.cpp R flops)."""
         return 8 * self.bg.nvec * 12 * self.bg.fine.volume
+
+
+# ---------------------------------------------------------------------
+# dof-generic transfer between coarse levels (MG level >= 2)
+#
+# The analogue of the reference's coarse-to-coarse Transfer used by
+# CoarseCoarseOp (reference lib/coarsecoarse_op.cu, transfer.cpp with
+# Nc = n_vec): fields live in the coarse layout [ns=2, nc, T,Z,Y,X]
+# with ns the preserved coarse spin (spin_block_size = 1 at level >= 1,
+# i.e. each coarse spin is its own chirality block).
+# ---------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CoarseBlockGeometry:
+    """Geometric blocking of a coarse lattice (dims given as
+    (T, Z, Y, X) of the level being coarsened)."""
+
+    fine_shape: tuple           # (T1, Z1, Y1, X1)
+    fine_ns: int                # coarse spin (2)
+    fine_nc: int                # nvec of the level being coarsened
+    bx: int = 2
+    by: int = 2
+    bz: int = 2
+    bt: int = 2
+    nvec: int = 24
+
+    def __post_init__(self):
+        t1, z1, y1, x1 = self.fine_shape
+        for d, b in ((x1, self.bx), (y1, self.by), (z1, self.bz),
+                     (t1, self.bt)):
+            if d % b:
+                raise ValueError(
+                    f"block does not divide coarse dim: {self.fine_shape} "
+                    f"/ ({self.bt},{self.bz},{self.by},{self.bx})")
+
+    @property
+    def coarse_shape(self):
+        t1, z1, y1, x1 = self.fine_shape
+        return (t1 // self.bt, z1 // self.bz, y1 // self.by, x1 // self.bx)
+
+    @property
+    def block_volume(self) -> int:
+        return self.bx * self.by * self.bz * self.bt
+
+    @property
+    def coarse_dof(self) -> int:
+        return self.fine_ns * self.nvec
+
+
+def to_blocked_coarse(vc, bg: CoarseBlockGeometry):
+    """[ns, nc, T1, Z1, Y1, X1] → [T2, Z2, Y2, X2, bv, ns, nc]."""
+    ns, nc = bg.fine_ns, bg.fine_nc
+    tc, zc, yc, xc = bg.coarse_shape
+    r = jnp.moveaxis(vc, (0, 1), (-2, -1))      # [T1,Z1,Y1,X1,ns,nc]
+    r = r.reshape(tc, bg.bt, zc, bg.bz, yc, bg.by, xc, bg.bx, ns, nc)
+    r = r.transpose(0, 2, 4, 6, 1, 3, 5, 7, 8, 9)
+    return r.reshape(tc, zc, yc, xc, bg.block_volume, ns, nc)
+
+
+def from_blocked_coarse(blk, bg: CoarseBlockGeometry):
+    ns, nc = bg.fine_ns, bg.fine_nc
+    tc, zc, yc, xc = bg.coarse_shape
+    r = blk.reshape(tc, zc, yc, xc, bg.bt, bg.bz, bg.by, bg.bx, ns, nc)
+    r = r.transpose(0, 4, 1, 5, 2, 6, 3, 7, 8, 9)
+    t1, z1, y1, x1 = bg.fine_shape
+    r = r.reshape(t1, z1, y1, x1, ns, nc)
+    return jnp.moveaxis(r, (-2, -1), (0, 1))
+
+
+def block_orthonormalize_coarse(v_blocked):
+    """v_blocked [nvec2, T2,Z2,Y2,X2, bv, ns, nc] → orthonormal per
+    (aggregate site, coarse spin): inner-product axes bv and nc."""
+    return _block_gs(v_blocked, axes=(-3, -1))
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["v"],
+         meta_fields=["bg"])
+@dataclasses.dataclass(frozen=True)
+class CoarseTransfer:
+    """Aggregation transfer between coarse layouts: restrict
+    [ns, nc1, T1...] → [ns, nvec2, T2...] (coarse spin preserved)."""
+
+    v: Any                      # [nvec2, T2,Z2,Y2,X2, bv, ns, nc1]
+    bg: CoarseBlockGeometry
+
+    def restrict(self, vc):
+        blk = to_blocked_coarse(vc, self.bg)           # [...,bv,ns,nc]
+        return heinsum("n...bsc,...bsc->sn...", jnp.conj(self.v), blk)
+
+    def prolong(self, vc2):
+        blk = heinsum("n...bsc,sn...->...bsc", self.v, vc2)
+        return from_blocked_coarse(blk, self.bg)

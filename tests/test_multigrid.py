@@ -97,6 +97,39 @@ class TestCoarseOp:
                                    atol=1e-10)
 
 
+class TestThreeLevel:
+    def test_galerkin_level2(self):
+        """coarse2 vc2 == R2(Dc(P2(vc2))) — validates the dof-generic
+        CoarseTransfer and the recursive probing (reference
+        lib/coarsecoarse_op.cu)."""
+        d = _dirac(4, kind="twisted-mass", kappa=0.12, mu=0.05)
+        params = MGParams(block=(2, 2, 2, 2), nvec=4, setup_maxiter=50,
+                          setup_tol=1e-3, n_level=3,
+                          block2=(1, 1, 1, 2), nvec2=3, setup2_maxiter=50)
+        mg = setup_mg(d, params, jax.random.PRNGKey(21))
+        assert mg.transfer2 is not None and mg.coarse2 is not None
+        c2shape = (2, params.nvec2) + mg.transfer2.bg.coarse_shape
+        vc2 = (jax.random.normal(jax.random.PRNGKey(22), c2shape)
+               + 1j * jax.random.normal(jax.random.PRNGKey(23), c2shape))
+        lhs = mg.coarse2.apply(vc2)
+        rhs = mg.transfer2.restrict(mg.coarse.apply(mg.transfer2.prolong(vc2)))
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   atol=1e-10)
+
+    def test_three_level_solve_converges(self):
+        d = _dirac(6, kind="twisted-mass", kappa=0.122, mu=0.03)
+        params = MGParams(block=(2, 2, 2, 2), nvec=6, setup_tol=1e-4,
+                          setup_maxiter=200, nu_post=4, n_level=3,
+                          block2=(1, 1, 1, 2), nvec2=4,
+                          setup2_maxiter=100, coarse2_nkrylov=6)
+        mg = setup_mg(d, params, jax.random.PRNGKey(7))
+        b = rng.random_spinor(jax.random.PRNGKey(8), GEOM)
+        out = mg_solve(mg, b, tol=1e-8, n_krylov=10, max_restarts=30)
+        r = b - d.m(out.x)
+        relres = float(jnp.linalg.norm(r.ravel()) / jnp.linalg.norm(b.ravel()))
+        assert relres < 1e-6, relres
+
+
 class TestMGSolve:
     def test_mg_gcr_converges_and_beats_plain(self):
         d = _dirac(6, kind="twisted-mass", kappa=0.122, mu=0.03)
