@@ -46,6 +46,10 @@ class MGParams:
     nu_pre: int = 0
     nu_post: int = 4                  # MR smoother steps
     omega: float = 0.85               # CalcMG_2pt3pt_EvenOdd.cpp:429
+    smoother_pc: bool = False         # even-odd PC smoothing (the ETMC
+    # production smoother_solve_type = QUDA_DIRECT_PC_SOLVE,
+    # CalcMG_2pt3pt_EvenOdd.cpp:419): MR runs on the Schur system via
+    # prepare/reconstruct — half the sites, better conditioned
     coarse_nkrylov: int = 10          # multigrid.cpp:229-272
     coarse_maxiter_restarts: int = 1  # GCR restarts on the coarse level
     coarse_tol: float = 0.25
@@ -93,6 +97,19 @@ class MGPreconditioner:
         return gcr_cycle(self.coarse.apply, rc, n_krylov=p.coarse_nkrylov,
                          precond=precond)
 
+    def _smooth(self, r, niter: int):
+        """Approximate M x ≈ r by ``niter`` MR steps — either directly
+        on the full operator or on the even-odd Schur system via
+        prepare/reconstruct (reference smoother_solve_type,
+        QUDA_DIRECT_PC_SOLVE in the production executables)."""
+        p = self.params
+        if not p.smoother_pc:
+            return mr(self.dirac.m, r, niter=niter, omega=p.omega)
+        d = self.dirac
+        src = d.prepare(r)
+        x_p = mr(d.matpc, src, niter=niter, omega=p.omega)
+        return d.reconstruct(x_p, r)
+
     def vcycle(self, r):
         """One V(nu_pre, nu_post)-cycle approximating M^{-1} r on the
         full field [2,4,3,T,Z,W]."""
@@ -100,14 +117,48 @@ class MGPreconditioner:
         m = self.dirac.m
         x = jnp.zeros_like(r)
         if p.nu_pre > 0:
-            x = mr(m, r, niter=p.nu_pre, omega=p.omega)
+            x = self._smooth(r, p.nu_pre)
         rr = r - m(x) if p.nu_pre > 0 else r
         rc = self.transfer.restrict(rr)
         xc = self.coarse_solve(rc)
         x = x + self.transfer.prolong(xc)
         if p.nu_post > 0:
             rr = r - m(x)
-            x = x + mr(m, rr, niter=p.nu_post, omega=p.omega)
+            x = x + self._smooth(rr, p.nu_post)
+        return x
+
+    def vcycle_resharded(self, r, mesh):
+        """V-cycle for a mesh-sharded fine field with REPLICATED coarse
+        levels.
+
+        The coarse-grid latency wall (SURVEY.md §7 hard-part 3): with a
+        4⁴ blocking the coarse lattice has a few sites per chip, so a
+        sharded coarse solve is all latency.  The reference's only
+        escape was running coarse levels on the CPU
+        (mg_param.location, quda.h:378); the TPU-native answer is to
+        GATHER the (tiny) coarse residual to every chip — one
+        all-gather inserted by XLA at the sharding boundary — and run
+        the whole coarse solve replicated (identical compute per chip,
+        zero further comms), then scatter back implicitly when the
+        prolongated correction joins the sharded smoother."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        fine = NamedSharding(mesh, P(None, None, None, "t", "z", "w"))
+        p = self.params
+        m = self.dirac.m
+        x = jnp.zeros_like(r)
+        if p.nu_pre > 0:
+            x = self._smooth(r, p.nu_pre)
+        rr = r - m(x) if p.nu_pre > 0 else r
+        rc = jax.lax.with_sharding_constraint(self.transfer.restrict(rr),
+                                              rep)
+        xc = jax.lax.with_sharding_constraint(self.coarse_solve(rc), rep)
+        corr = jax.lax.with_sharding_constraint(self.transfer.prolong(xc),
+                                                fine)
+        x = x + corr
+        if p.nu_post > 0:
+            rr = r - m(x)
+            x = x + self._smooth(rr, p.nu_post)
         return x
 
 
@@ -185,6 +236,31 @@ def setup_mg(dirac: Dirac, params: MGParams, key,
     return MGPreconditioner(transfer=transfer, coarse=coarse, dirac=dirac,
                             params=params, transfer2=transfer2,
                             coarse2=coarse2)
+
+
+def setup_mg_pair(dirac_up: Dirac, dirac_dn: Dirac, params: MGParams,
+                  key) -> tuple:
+    """Build the TWO MG preconditioners of a twisted-mass workflow — one
+    per twist sign — sharing one set of null vectors (the analogue of
+    preconditionerUP/DN, reference include/quda.h:227-228, built in
+    CalcMG_2pt3pt_EvenOdd.cpp:719-726 and swapped per solve at
+    interface_quda.cpp:6432/6502).  The coarse operators are re-probed
+    per flavor, which carries the twist sign to every level (the role of
+    the reference's delta_mu coarse-twist knobs, quda.h:401-407)."""
+    bx, by, bz, bt = params.block
+    bg = BlockGeometry(dirac_up.geom, bx, by, bz, bt, params.nvec)
+    v = generate_null_vectors(dirac_up, bg, key, params)
+    transfer = Transfer(v=v, bg=bg)
+    mgs = []
+    for d in (dirac_up, dirac_dn):
+        coarse = _build_level1(transfer, d)
+        transfer2 = coarse2 = None
+        if params.n_level >= 3:
+            transfer2, coarse2 = setup_coarse_level(coarse, params, key)
+        mgs.append(MGPreconditioner(
+            transfer=transfer, coarse=coarse, dirac=d, params=params,
+            transfer2=transfer2, coarse2=coarse2))
+    return tuple(mgs)
 
 
 @partial(jax.jit, static_argnames=("tol", "maxiter"))
@@ -280,9 +356,19 @@ def _mr_step(mg, x, r):
     return x + omega * z
 
 
+@partial(jax.jit, static_argnames=("mesh",))
+def _mr_step_sharded(mg, x, r, mesh):
+    """_mr_step with the replicated-coarse V-cycle (multi-chip path)."""
+    z = mg.vcycle_resharded(r, mesh)
+    w = mg.dirac.m(z)
+    denom = jnp.real(jnp.vdot(w, w))
+    omega = jnp.where(denom > 0, jnp.vdot(w, r) / denom, 0.0).astype(r.dtype)
+    return x + omega * z
+
+
 def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
              n_krylov: int = 10, max_restarts: int = 50,
-             solver: str = "mr-richardson"):
+             solver: str = "mr-richardson", mesh=None):
     """MG-preconditioned outer solve of M x = b.
 
     Default "mr-richardson": host-stepped minimal-residual Richardson,
@@ -307,7 +393,10 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
             r, r2 = _mr_resid(mg, x, b)
             if float(r2) <= tol * tol * b2:
                 break
-            x = _mr_step(mg, x, r)
+            if mesh is not None:
+                x = _mr_step_sharded(mg, x, r, mesh)
+            else:
+                x = _mr_step(mg, x, r)
             iters += 1
         return GCRResult(x, jnp.asarray(iters), r2)
     for i in range(max_restarts):

@@ -53,15 +53,47 @@ def _solve_column(dirac, u_ape, geom, coords, spin, color, alpha, nsmear,
     return out.x, out.true_res
 
 
+@partial(jax.jit, static_argnames=("geom", "spin", "color", "coords",
+                                   "alpha", "nsmear", "dtype"))
+def _smeared_point_source(u_ape, geom, coords, spin, color, alpha, nsmear,
+                          dtype):
+    b = fields.point_source(geom, coords, spin, color, dtype=dtype)
+    return gaussian_smear(b, u_ape, geom, alpha, nsmear)
+
+
+def mg_solve_fn(mg, tol: float = 1e-8, n_krylov: int = 10,
+                max_restarts: int = 50):
+    """Wrap an MG preconditioner as a workflow solver b → (x, true_rel)
+    (the GCR-MG solve of the reference's per-column loop,
+    interface_quda.cpp:6432/6502)."""
+    from quda_qkxtm_multigrid_tpu.mg.multigrid import mg_solve
+    from quda_qkxtm_multigrid_tpu.invert import true_residual
+
+    def solve(b):
+        out = mg_solve(mg, b, tol=tol, n_krylov=n_krylov,
+                       max_restarts=max_restarts)
+        _, rel = true_residual(mg.dirac, out.x, b)
+        return out.x, rel
+    return solve
+
+
 def forward_prop(dirac, u_ape, geom, coords, alpha=4.0, nsmear=50,
-                 tol=1e-8, maxiter=1000, verbose=False):
+                 tol=1e-8, maxiter=1000, verbose=False, solve_fn=None):
     """12 smeared-source solves → canonical propagator
-    [2,4,4,3,3,T,Z,W] (the per-column loop of interface_quda.cpp:6342)."""
+    [2,4,4,3,3,T,Z,W] (the per-column loop of interface_quda.cpp:6342).
+
+    solve_fn: optional b → (x, true_res) override (e.g. mg_solve_fn);
+    default is the even-odd preconditioned CG of invert()."""
     cols = []
     for spin in range(4):
         for color in range(3):
-            x, res = _solve_column(dirac, u_ape, geom, coords, spin, color,
-                                   alpha, nsmear, tol, maxiter)
+            if solve_fn is None:
+                x, res = _solve_column(dirac, u_ape, geom, coords, spin,
+                                       color, alpha, nsmear, tol, maxiter)
+            else:
+                b = _smeared_point_source(u_ape, geom, coords, spin, color,
+                                          alpha, nsmear, dirac.u.dtype)
+                x, res = solve_fn(b)
             if verbose:
                 print(f"  column {spin}{color}: true_res={float(res):.2e}")
             cols.append(x)
@@ -78,18 +110,36 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
              source=(0, 0, 0, 0), q_sq_max: int = 1,
              ape_alpha: float = 0.5, ape_n: int = 20,
              gauss_alpha: float = 4.0, gauss_n: int = 50,
-             tol: float = 1e-8, maxiter: int = 1000, verbose=False):
+             tol: float = 1e-8, maxiter: int = 1000, verbose=False,
+             mg_params=None, mg_key=None):
     """Point-source 2pt workflow: both twist flavors, mesons + baryons,
     momentum-projected.  Returns dict with correlators and the momentum
-    list."""
+    list.
+
+    mg_params: optional MGParams — solve each column with the MG-
+    preconditioned outer solver using the per-flavor preconditioner pair
+    (reference preconditionerUP/DN, interface_quda.cpp:6432/6502) set up
+    ONCE for all 24 solves."""
     kind = "twisted-clover" if csw != 0.0 else "twisted-mass"
     u_ape = _ape(u, geom, ape_alpha, ape_n)
+    diracs = {}
+    for name, flavor in (("up", +1), ("dn", -1)):
+        diracs[name] = make_dirac_jit(
+            u, DiracParams(kind=kind, kappa=kappa, mu=mu, csw=csw,
+                           flavor=flavor), geom)
+    solve_fns = {"up": None, "dn": None}
+    mg_pair = None
+    if mg_params is not None:
+        from quda_qkxtm_multigrid_tpu.mg.multigrid import setup_mg_pair
+        key = mg_key if mg_key is not None else jax.random.PRNGKey(0)
+        mg_pair = setup_mg_pair(diracs["up"], diracs["dn"], mg_params, key)
+        solve_fns = {"up": mg_solve_fn(mg_pair[0], tol=tol),
+                     "dn": mg_solve_fn(mg_pair[1], tol=tol)}
     props = {}
     for name, flavor in (("up", +1), ("dn", -1)):
-        d = make_dirac_jit(u, DiracParams(kind=kind, kappa=kappa, mu=mu,
-                                          csw=csw, flavor=flavor), geom)
-        p = forward_prop(d, u_ape, geom, source, gauss_alpha, gauss_n,
-                         tol, maxiter, verbose)
+        p = forward_prop(diracs[name], u_ape, geom, source, gauss_alpha,
+                         gauss_n, tol, maxiter, verbose,
+                         solve_fn=solve_fns[name])
         props[name] = jax.jit(rotate_to_physical,
                               static_argnames=("sign",))(p, sign=flavor)
     moms = con.momentum_list(q_sq_max)
@@ -106,17 +156,22 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
 
     mes_m, bar_m = _contract(props["up"], props["dn"])
     return {"mesons": mes_m, "baryons": bar_m, "moms": moms,
-            "prop_up": props["up"], "prop_dn": props["dn"], "u_ape": u_ape}
+            "prop_up": props["up"], "prop_dn": props["dn"], "u_ape": u_ape,
+            "mg_pair": mg_pair}
 
 
 def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
                prop_up, prop_dn, u_ape, tsink: int, source=(0, 0, 0, 0),
                projectors=("G4",), particle=tp.PROTON, q_sq_max: int = 1,
                gauss_alpha: float = 4.0, gauss_n: int = 50,
-               tol: float = 1e-8, maxiter: int = 1000):
+               tol: float = 1e-8, maxiter: int = 1000, mg_pair=None):
     """Fixed-sink 3pt workflow for one sink time: sequential sources for
     each projector and flavor part, sequential solves with the OPPOSITE
     twist, fixSink contractions (reference interface_quda.cpp:6560-7090).
+
+    mg_pair: optional (mg_up, mg_dn) from run_twop/setup_mg_pair —
+    sequential solves then use the opposite-flavor MG preconditioner
+    (reference interface_quda.cpp:6665-6824).
 
     Returns {proj: {part: {"ultra_local","noether","oneD"}}} momentum-
     projected with e^{+ipx} (3pt convention)."""
@@ -141,6 +196,11 @@ def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
         b = gaussian_smear(b, u_ape, geom, gauss_alpha, gauss_n)
         return invert(d, b, tol=tol, maxiter=maxiter).x
 
+    @partial(jax.jit, static_argnames=("q", "s"))
+    def _seq_src_smeared(u_ape, src, q, s):
+        b = apply_gamma5(src[q, s])
+        return gaussian_smear(b, u_ape, geom, gauss_alpha, gauss_n)
+
     @partial(jax.jit, static_argnames=("part",))
     def _fixsink(seqprop, fwd, u, part):
         loc = tp.fixsink_local(seqprop, fwd, particle, part)
@@ -162,11 +222,17 @@ def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
             # solve with opposite flavor (reference :6650-6700:
             # part1 → MINUS twist for proton)
             flavor = -particle if partflag == 1 else +particle
-            d = make_dirac_jit(u, DiracParams(kind=kind, kappa=kappa,
-                                              mu=mu, csw=csw,
-                                              flavor=flavor), geom)
-            cols = [_seq_col(d, u_ape, src, q=q, s=s)
-                    for q in range(4) for s in range(3)]
+            if mg_pair is not None:
+                solve = mg_solve_fn(mg_pair[0 if flavor > 0 else 1],
+                                    tol=tol)
+                cols = [solve(_seq_src_smeared(u_ape, src, q=q, s=s))[0]
+                        for q in range(4) for s in range(3)]
+            else:
+                d = make_dirac_jit(u, DiracParams(kind=kind, kappa=kappa,
+                                                  mu=mu, csw=csw,
+                                                  flavor=flavor), geom)
+                cols = [_seq_col(d, u_ape, src, q=q, s=s)
+                        for q in range(4) for s in range(3)]
             seqprop = _assemble_prop(cols)
             loc, noe, oneD = _fixsink(seqprop, prop_up, u, partflag)
             results[proj_name][f"part{partflag}"] = {

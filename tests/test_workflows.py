@@ -38,6 +38,51 @@ class TestTwop:
         assert np.isfinite(np.asarray(out["baryons"])).all()
 
 
+class TestTwopMG:
+    def test_mg_pair_matches_cg(self, twop):
+        """MG-preconditioned UP/DN column solves reproduce the CG-based
+        pion correlator (reference preconditionerUP/DN pair,
+        interface_quda.cpp:6432/6502)."""
+        from quda_qkxtm_multigrid_tpu.mg.multigrid import MGParams
+        u, out_cg = twop
+        mgp = MGParams(block=(2, 2, 2, 2), nvec=6, setup_tol=1e-4,
+                       setup_maxiter=200, nu_post=4)
+        out_mg = wf.run_twop(u, GEOM, kappa=0.115, mu=0.05, csw=1.0,
+                             q_sq_max=1, ape_n=2, gauss_n=3, tol=1e-8,
+                             maxiter=500, mg_params=mgp,
+                             mg_key=jax.random.PRNGKey(3))
+        assert out_mg["mg_pair"] is not None
+        np.testing.assert_allclose(np.asarray(out_mg["mesons"]),
+                                   np.asarray(out_cg["mesons"]),
+                                   rtol=1e-4, atol=1e-8)
+
+    def test_threep_mg(self, twop):
+        from quda_qkxtm_multigrid_tpu.mg.multigrid import (
+            MGParams, setup_mg_pair)
+        from quda_qkxtm_multigrid_tpu.dirac import DiracParams, make_dirac
+        u, out = twop
+        mgp = MGParams(block=(2, 2, 2, 2), nvec=6, setup_tol=1e-4,
+                       setup_maxiter=200, nu_post=4)
+        d_up = make_dirac(u, DiracParams(kind="twisted-clover", kappa=0.115,
+                                         mu=0.05, csw=1.0, flavor=+1), GEOM)
+        d_dn = make_dirac(u, DiracParams(kind="twisted-clover", kappa=0.115,
+                                         mu=0.05, csw=1.0, flavor=-1), GEOM)
+        pair = setup_mg_pair(d_up, d_dn, mgp, jax.random.PRNGKey(4))
+        res_mg = wf.run_threep(u, GEOM, kappa=0.115, mu=0.05, csw=1.0,
+                               prop_up=out["prop_up"], prop_dn=out["prop_dn"],
+                               u_ape=out["u_ape"], tsink=4,
+                               projectors=("G4",), gauss_n=3, tol=1e-8,
+                               maxiter=500, mg_pair=pair)
+        res_cg = wf.run_threep(u, GEOM, kappa=0.115, mu=0.05, csw=1.0,
+                               prop_up=out["prop_up"], prop_dn=out["prop_dn"],
+                               u_ape=out["u_ape"], tsink=4,
+                               projectors=("G4",), gauss_n=3, tol=1e-8,
+                               maxiter=500)
+        a = np.asarray(res_mg["thrp"]["G4"]["part1"]["ultra_local"])
+        b = np.asarray(res_cg["thrp"]["G4"]["part1"]["ultra_local"])
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-8)
+
+
 class TestThreep:
     def test_threep_runs(self, twop):
         u, out = twop
