@@ -229,6 +229,106 @@ def make_dirac(u, params: DiracParams, geom: Geometry,
                  clover_inv=clover_inv, u_doubled=u_doubled)
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["u"], meta_fields=["params", "geom"])
+@dataclasses.dataclass(frozen=True)
+class DiracNdeg:
+    """Non-degenerate twisted-mass DOUBLET operator — two flavors
+    coupled by the ε τ1 term (the reference's DiracTwistedMass doublet
+    path, include/dirac_quda.h twisted ndeg classes and the
+    ndeg_twisted_mass dslash, lib/dslash_ndeg_twisted_mass.cu; oracle
+    tm_ndeg_mat/tm_ndeg_matpc, tests/wilson_dslash_reference.cpp).
+
+    Fields are doublets [2(flavor), 2(parity), 4, 3, T, Z, W].  The
+    hopping term is flavor-diagonal (one vmap over the Wilson dslash);
+    the parity-diagonal term A = 1 + i 2κμ γ5 τ3 − 2κε τ1 mixes the
+    flavors site-locally (ops/twist.ndeg_twist_apply).
+    """
+
+    u: Any
+    params: DiracParams
+    geom: Geometry
+
+    def dslash(self, psi_f_opp, parity: int, dagger: bool = False):
+        """Flavor-diagonal Wilson hop: psi_f_opp [2f, 4, 3, T, Z, W]."""
+        return jax.vmap(
+            lambda p: _dsl.dslash_parity(self.u, p, parity, self.geom,
+                                         dagger))(psi_f_opp)
+
+    def a_apply(self, psi_f_p, dagger: bool = False):
+        p = self.params
+        return _twist.ndeg_twist_apply(psi_f_p, p.kappa, p.mu, p.epsilon,
+                                       dagger)
+
+    def a_inv_apply(self, psi_f_p, dagger: bool = False):
+        p = self.params
+        return _twist.ndeg_twist_apply(psi_f_p, p.kappa, p.mu, p.epsilon,
+                                       dagger, inverse=True)
+
+    def m(self, psi, dagger: bool = False):
+        k = self.params.kappa
+        out = []
+        for p in (0, 1):
+            a = self.a_apply(psi[:, p], dagger)
+            out.append(a - k * self.dslash(psi[:, 1 - p], p, dagger))
+        return jnp.stack(out, axis=1)
+
+    def mdag(self, psi):
+        return self.m(psi, dagger=True)
+
+    def mdagm(self, psi):
+        return self.mdag(self.m(psi))
+
+    def matpc(self, psi_f_p, dagger: bool = False):
+        """Symmetric even-odd Schur operator on one parity of the
+        doublet: 1 − κ² A_p⁻¹ D A_{1−p}⁻¹ D."""
+        p = self.params
+        pr, k = p.matpc_parity, p.kappa
+        if not dagger:
+            t = self.dslash(psi_f_p, 1 - pr)
+            t = self.a_inv_apply(t)
+            t = self.dslash(t, pr)
+            return psi_f_p - (k * k) * self.a_inv_apply(t)
+        t = self.a_inv_apply(psi_f_p, dagger=True)
+        t = self.dslash(t, 1 - pr, dagger=True)
+        t = self.a_inv_apply(t, dagger=True)
+        t = self.dslash(t, pr, dagger=True)
+        return psi_f_p - (k * k) * t
+
+    def matpc_dagm(self, psi_f_p):
+        return self.matpc(self.matpc(psi_f_p), dagger=True)
+
+    def prepare(self, b):
+        """b [2f, 2p, ...] → doublet source on the solve parity."""
+        p = self.params
+        pr, k = p.matpc_parity, p.kappa
+        src = b[:, pr] + k * self.dslash(self.a_inv_apply(b[:, 1 - pr]), pr)
+        return self.a_inv_apply(src)
+
+    def reconstruct(self, x_f_p, b):
+        p = self.params
+        pr, k = p.matpc_parity, p.kappa
+        x_other = self.a_inv_apply(b[:, 1 - pr]
+                                   + k * self.dslash(x_f_p, 1 - pr))
+        parts = [None, None]
+        parts[pr] = x_f_p
+        parts[1 - pr] = x_other
+        return jnp.stack(parts, axis=1)
+
+    def flops_per_mat(self) -> int:
+        per_site = _dsl.WILSON_DSLASH_FLOPS_PER_SITE
+        return 2 * (per_site + 96) * self.geom.volume
+
+
+def make_dirac_ndeg(u, params: DiracParams, geom: Geometry) -> DiracNdeg:
+    """Factory for the non-degenerate doublet (params.kind
+    'twisted-mass' with ε != 0 — the ε τ1 coupling distinguishes it
+    from two independent degenerate operators)."""
+    if params.mu == 0.0 or params.epsilon == 0.0:
+        raise ValueError("ndeg doublet requires mu != 0 and epsilon != 0")
+    return DiracNdeg(u=u, params=params, geom=geom)
+
+
 def as_sloppy(dirac: Dirac, **param_overrides) -> Dirac:
     """Sloppy-tier view of an operator SHARING its field arrays (no
     duplicate gauge/clover HBM; the bf16/precision change happens at the

@@ -87,6 +87,155 @@ def write_loops_hdf5(path, loops, moms, traj: int, n_stoch: int,
                                   data=_ri(arr[..., im]))
 
 
+# --- High-Momenta Form ------------------------------------------------
+# The ETMC "HighMomForm" layout (reference
+# writeTwopBaryonsHDF5_MomSpace_HighMomForm,
+# qudaQKXTM_Contraction_Kepler.cpp:550, meson variant :1284, threep
+# :2361; loops writeLoops_HDF5_HighMomForm, qudaQKXTM_Loops_Kepler.cpp
+# :776): instead of one small dataset per momentum, ONE dataset per
+# correlator with the momentum list as a leading-after-time axis —
+# [T, Nmoms, (Mel,) 2] — plus a root-level integer dataset
+# ``Momenta_list_xyz`` [Nmoms, 3] and string attributes Nmoms / Qsq /
+# Correlator-info / Ensemble-info.  The time axis is ROLLED so row 0 is
+# the source time (the reference writes ranks starting at src_rank).
+
+
+def _mom_list_and_attrs(f, moms, q_sq, corr_info: str, meta: dict):
+    moms = np.asarray(moms, np.int32)
+    f.create_dataset("Momenta_list_xyz", data=moms)
+    f.attrs["Nmoms"] = str(len(moms))
+    f.attrs["Qsq"] = str(q_sq)
+    f.attrs["Correlator-info"] = corr_info
+    kappa = meta.get("kappa", 0.0)
+    mu = meta.get("mu", 0.0)
+    csw = meta.get("csw", 0.0)
+    f.attrs["Ensemble-info"] = (f"kappa = {kappa:10.8f}\nmu = {mu:8.6f}\n"
+                                f"Csw = {csw:8.6f}")
+
+
+def _roll_t(a, t_axis: int, t_src: int):
+    return np.roll(a, -t_src, axis=t_axis)
+
+
+def write_twop_mesons_hdf5_highmom(path, corr, moms, traj: int, source,
+                                   q_sq: int = 0, meta: dict = {}):
+    """corr [10(type), 2(flavor), T, nmom] complex → per-meson datasets
+    twop_meson_{1,2} [T, nmom, 2], t=0 at the source time."""
+    corr = _roll_t(np.asarray(corr), 2, source[3])
+    with h5py.File(path, "w") as f:
+        g = f.create_group(f"conf_{traj:04d}").create_group(_src_tag(source))
+        for it, name in enumerate(MESON_NAMES):
+            gt = g.create_group(name)
+            for ip in range(2):
+                gt.create_dataset(f"twop_meson_{ip + 1}",
+                                  data=_ri(corr[it, ip]))
+        _mom_list_and_attrs(
+            f, moms, q_sq,
+            "Momentum-space meson 2pt-correlator\n"
+            "Quark field basis: Physical\n"
+            "Index Order: [t, mom-index, real/imag]", meta)
+
+
+def write_twop_baryons_hdf5_highmom(path, corr, moms, traj: int, source,
+                                    q_sq: int = 0, meta: dict = {}):
+    """corr [10(type), 2(flavor), 4, 4, T, nmom] complex → per-baryon
+    datasets twop_baryon_{1,2} [T, nmom, 16, 2] (spin row-major)."""
+    corr = _roll_t(np.asarray(corr), 4, source[3])
+    nt, nmom = corr.shape[4], corr.shape[5]
+    with h5py.File(path, "w") as f:
+        g = f.create_group(f"conf_{traj:04d}").create_group(_src_tag(source))
+        for it, name in enumerate(BARYON_NAMES):
+            gt = g.create_group(name)
+            for ip in range(2):
+                # [4,4,T,nmom] → [T,nmom,16]
+                block = corr[it, ip].reshape(16, nt, nmom)
+                block = np.moveaxis(block, 0, 2)
+                gt.create_dataset(f"twop_baryon_{ip + 1}", data=_ri(block))
+        _mom_list_and_attrs(
+            f, moms, q_sq,
+            "Momentum-space baryon 2pt-correlator\n"
+            "Quark field basis: Physical\n"
+            "Index Order: [t, mom-index, spin, real/imag]\n"
+            "Spin-index order: Row-major", meta)
+
+
+def write_threep_hdf5_highmom(path, thrp_by_proj, moms, traj: int, source,
+                              tsink: int, q_sq: int = 0, meta: dict = {}):
+    """HighMomForm 3pt tree (reference writeThrpHDF5_MomSpace_HighMomForm,
+    qudaQKXTM_Contraction_Kepler.cpp:2361):
+      conf/src/tsink_%02d/proj_%s/{up,down}/<type>[/dir_%02d]/threep
+    with datasets [tsink+1, nmom, Mel, 2] (Mel = 16 local/oneD, 4
+    noether), t=0 at the source time.
+
+    thrp_by_proj: {proj: {"up"|"down": {"ultra_local": [16,T,nmom],
+    "noether": [4,T,nmom], "oneD": [16,4,T,nmom]}}}."""
+    t_src = source[3]
+    with h5py.File(path, "a") as f:
+        root = f.require_group(f"conf_{traj:04d}").require_group(
+            _src_tag(source))
+        g3 = root.require_group(f"tsink_{tsink:02d}")
+        for proj, parts in thrp_by_proj.items():
+            g4 = g3.require_group(f"proj_{proj}")
+            for part_name, types in parts.items():
+                g5 = g4.require_group(part_name)
+                for tname, arr in types.items():
+                    g6 = g5.require_group(tname)
+                    arr = _roll_t(np.asarray(arr), -2, t_src)[...,
+                                                              :tsink + 1, :]
+                    if tname == "oneD":
+                        for mu in range(4):
+                            g7 = g6.require_group(f"dir_{mu:02d}")
+                            block = np.moveaxis(arr[:, mu], 0, 2)
+                            g7.create_dataset("threep", data=_ri(block))
+                    else:
+                        block = np.moveaxis(arr, 0, 2)   # [T',nmom,Mel]
+                        g6.create_dataset("threep", data=_ri(block))
+        if "Momenta_list_xyz" not in f:
+            _mom_list_and_attrs(
+                f, moms, q_sq,
+                "Momentum-space three-point function\n"
+                "Quark field basis: Physical\n"
+                "Index Order: [t, mom-index, op-index, real/imag]", meta)
+
+
+def write_loops_hdf5_highmom(path, loops, moms, traj: int, n_stoch: int,
+                             q_sq: int = 0, meta: dict = {},
+                             exact_nev: int = None, low_prec: bool = None):
+    """HighMomForm loop writer (reference writeLoops_HDF5_HighMomForm,
+    qudaQKXTM_Loops_Kepler.cpp:776): conf/<Nstoch_%04d|NLP_|NHP_>/
+    <loop_type>[/dir_%02d]/loop datasets [T, nmom, 16, 2]; exact
+    (deflation) loops hang the types directly under conf (reference
+    exact_loop branch).
+
+    loops: dict name → [16, T, nmom] or [4(dir), 16, T, nmom]."""
+    with h5py.File(path, "a") as f:
+        root = f.require_group(f"conf_{traj:04d}")
+        if exact_nev is not None:
+            g = root                             # exact loops: no Nstoch
+        elif low_prec is None:
+            g = root.require_group(f"Nstoch_{n_stoch:04d}")
+        else:
+            tag = "NLP" if low_prec else "NHP"
+            g = root.require_group(f"{tag}_{n_stoch:04d}")
+        for name, arr in loops.items():
+            arr = np.asarray(arr)
+            gt = g.require_group(name)
+            if arr.ndim == 4:                    # [dir, 16, T, nmom]
+                for mu in range(arr.shape[0]):
+                    block = np.moveaxis(arr[mu], 0, 2)
+                    gt.require_group(f"dir_{mu:02d}").create_dataset(
+                        "loop", data=_ri(block))
+            else:
+                block = np.moveaxis(arr, 0, 2)   # [T, nmom, 16]
+                gt.create_dataset("loop", data=_ri(block))
+        if "Momenta_list_xyz" not in f:
+            _mom_list_and_attrs(
+                f, moms, q_sq,
+                "Disconnected quark loops\n"
+                "Index Order: [t, mom-index, gamma-index, real/imag]",
+                meta)
+
+
 def write_twop_ascii(path, corr, moms, kind: str):
     """Plain-text writer matching the reference's .dat layout
     (reference writeTwopMesons/BaryonsASCII): one line per

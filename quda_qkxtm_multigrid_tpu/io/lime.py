@@ -84,8 +84,11 @@ def read_ildg_gauge(path: str, dims=None, precision=None):
         precision = 64
     X, Y, Z, T = dims
     data = recs["ildg-binary-data"]
-    dt = ">f8" if precision == 64 else ">f4"
-    arr = np.frombuffer(data, dtype=dt).astype(np.float64)
+    # threaded native byte-swap when the g++-built helper is present
+    # (native/qkxtm_native.cpp — the reference's swap loops,
+    # qudaQKXTM_Kepler.h:22-60, run here as multi-core C++)
+    from quda_qkxtm_multigrid_tpu.io._native import decode_be
+    arr = decode_be(data, precision)
     arr = arr.reshape(T, Z, Y, X, 4, 3, 3, 2)
     cplx = arr[..., 0] + 1j * arr[..., 1]
     return np.moveaxis(cplx, 4, 0)       # [mu(x,y,z,t), T, Z, Y, X, 3, 3]
@@ -96,8 +99,8 @@ def write_ildg_gauge(path: str, u_full, precision: int = 64):
     mu_first = np.moveaxis(np.asarray(u_full), 0, 4)   # [T,Z,Y,X,4,3,3]
     T, Z, Y, X = mu_first.shape[:4]
     flat = np.stack([mu_first.real, mu_first.imag], axis=-1)
-    dt = ">f8" if precision == 64 else ">f4"
-    payload = flat.astype(dt).tobytes()
+    from quda_qkxtm_multigrid_tpu.io._native import encode_be
+    payload = encode_be(flat, precision)
     fmt = (f'<?xml version="1.0" encoding="UTF-8"?><ildgFormat>'
            f"<version>1.0</version><field>su3gauge</field>"
            f"<precision>{precision}</precision>"

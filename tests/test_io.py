@@ -73,6 +73,91 @@ class TestHDF5:
                     "ultra_local/mom_xyz_+0_+0_+0") in f
 
 
+class TestHighMomForm:
+    def test_meson_highmom(self, tmp_path):
+        h5py = pytest.importorskip("h5py")
+        from quda_qkxtm_multigrid_tpu.io import hdf5 as h5w
+        nt = GEOM.T
+        corr = np.random.randn(10, 2, nt, 3) + 1j * np.random.randn(
+            10, 2, nt, 3)
+        moms = [(0, 0, 0), (1, 0, 0), (0, 1, 0)]
+        p = tmp_path / "twop_hm.h5"
+        h5w.write_twop_mesons_hdf5_highmom(str(p), corr, moms, 77,
+                                           (1, 2, 3, 4), q_sq=1,
+                                           meta={"kappa": 0.115})
+        with h5py.File(p) as f:
+            d = f["conf_0077/sx01sy02sz03st04/pseudoscalar/twop_meson_1"]
+            assert d.shape == (nt, 3, 2)
+            # row 0 of the dataset is the SOURCE time t=4
+            np.testing.assert_allclose(d[0, 1, 0], corr[0, 0, 4, 1].real)
+            np.testing.assert_allclose(np.asarray(f["Momenta_list_xyz"]),
+                                       np.asarray(moms))
+            assert f.attrs["Nmoms"] == "3"
+            assert f.attrs["Qsq"] == "1"
+
+    def test_baryon_highmom(self, tmp_path):
+        h5py = pytest.importorskip("h5py")
+        from quda_qkxtm_multigrid_tpu.io import hdf5 as h5w
+        nt = GEOM.T
+        corr = (np.random.randn(10, 2, 4, 4, nt, 2)
+                + 1j * np.random.randn(10, 2, 4, 4, nt, 2))
+        moms = [(0, 0, 0), (1, 0, 0)]
+        p = tmp_path / "twopb_hm.h5"
+        h5w.write_twop_baryons_hdf5_highmom(str(p), corr, moms, 77,
+                                            (0, 0, 0, 2))
+        with h5py.File(p) as f:
+            d = f["conf_0077/sx00sy00sz00st02/deltapp_deltamm_11/"
+                  "twop_baryon_2"]
+            assert d.shape == (nt, 2, 16, 2)
+            # spin row-major: element 4*s1+s2, rolled by t_src=2
+            np.testing.assert_allclose(d[0, 1, 6, 1],
+                                       corr[4, 1, 1, 2, 2, 1].imag)
+
+    def test_threep_highmom(self, tmp_path):
+        h5py = pytest.importorskip("h5py")
+        from quda_qkxtm_multigrid_tpu.io import hdf5 as h5w
+        nt = GEOM.T
+        tsink = 5
+        thrp = {"G4": {"up": {
+            "ultra_local": np.random.randn(16, nt, 2) + 0j,
+            "noether": np.random.randn(4, nt, 2) + 0j,
+            "oneD": np.random.randn(16, 4, nt, 2) + 0j}}}
+        p = tmp_path / "thrp_hm.h5"
+        h5w.write_threep_hdf5_highmom(str(p), thrp, [(0, 0, 0), (1, 0, 0)],
+                                      9, (0, 0, 0, 3), tsink)
+        with h5py.File(p) as f:
+            base = "conf_0009/sx00sy00sz00st03/tsink_05/proj_G4/up"
+            d = f[f"{base}/ultra_local/threep"]
+            assert d.shape == (tsink + 1, 2, 16, 2)
+            np.testing.assert_allclose(
+                d[0, 0, 5, 0],
+                thrp["G4"]["up"]["ultra_local"][5, 3, 0].real)
+            assert f[f"{base}/oneD/dir_02/threep"].shape == (tsink + 1, 2,
+                                                             16, 2)
+            assert f[f"{base}/noether/threep"].shape == (tsink + 1, 2, 4, 2)
+
+    def test_loops_highmom(self, tmp_path):
+        h5py = pytest.importorskip("h5py")
+        from quda_qkxtm_multigrid_tpu.io import hdf5 as h5w
+        nt = GEOM.T
+        loops = {"Scalar": np.random.randn(16, nt, 2) + 0j,
+                 "Loops": np.random.randn(4, 16, nt, 2) + 0j}
+        p = tmp_path / "loops_hm.h5"
+        h5w.write_loops_hdf5_highmom(str(p), loops, [(0, 0, 0), (1, 0, 0)],
+                                     3, 100)
+        h5w.write_loops_hdf5_highmom(str(p), loops, [(0, 0, 0), (1, 0, 0)],
+                                     3, 100, low_prec=True)
+        h5w.write_loops_hdf5_highmom(str(p), {"Scalar": loops["Scalar"]},
+                                     [(0, 0, 0), (1, 0, 0)], 3, 0,
+                                     exact_nev=20)
+        with h5py.File(p) as f:
+            assert f["conf_0003/Nstoch_0100/Scalar/loop"].shape == (nt, 2,
+                                                                    16, 2)
+            assert "conf_0003/NLP_0100/Loops/dir_01/loop" in f
+            # exact loops hang directly under conf (reference exact_loop)
+            assert "conf_0003/Scalar" in f
+
+
 class TestCheckpoint:
     def test_roundtrips(self, tmp_path):
         from quda_qkxtm_multigrid_tpu.utils import checkpoint as ck
@@ -113,6 +198,24 @@ class TestGaugeTools:
         _, th0 = gauge_fix_ovr(u, GEOM, n_iter=0)
         uf, th1 = gauge_fix_ovr(u, GEOM, n_iter=40)
         assert float(th1) < 0.5 * float(th0)
+        p0 = plaquette(u, GEOM)[0]
+        p1 = plaquette(uf, GEOM)[0]
+        np.testing.assert_allclose(float(p0), float(p1), rtol=1e-12)
+
+    @pytest.mark.parametrize("gauge_dir", [4, 3])
+    def test_fft_gauge_fixing(self, gauge_dir):
+        """Fourier-accelerated fixing (reference gaugefixingFFT,
+        lib/gauge_fix_fft.cu): theta drops monotonically-ish and the
+        plaquette is exactly gauge invariant."""
+        import jax
+        import numpy as np
+        from quda_qkxtm_multigrid_tpu.ops.gauge import (gauge_fix_fft,
+                                                        plaquette)
+        from quda_qkxtm_multigrid_tpu.utils import rng as _rng
+        u = _rng.random_gauge(jax.random.PRNGKey(6), GEOM)
+        _, th0 = gauge_fix_fft(u, GEOM, gauge_dir=gauge_dir, n_iter=0)
+        uf, th1 = gauge_fix_fft(u, GEOM, gauge_dir=gauge_dir, n_iter=60)
+        assert float(th1) < 0.05 * float(th0)
         p0 = plaquette(u, GEOM)[0]
         p1 = plaquette(uf, GEOM)[0]
         np.testing.assert_allclose(float(p0), float(p1), rtol=1e-12)

@@ -143,3 +143,24 @@ class TestMGSolve:
         assert relres < 1e-6, relres
         plain = gcr(d.m, b, tol=1e-8, n_krylov=10, max_restarts=30)
         assert int(out.iters) <= int(plain.iters)
+
+    def test_pc_smoother_converges(self):
+        """Even-odd preconditioned smoothing (the production
+        smoother_solve_type = QUDA_DIRECT_PC_SOLVE,
+        CalcMG_2pt3pt_EvenOdd.cpp:419) converges at least as fast per
+        V-cycle as full-operator smoothing."""
+        d = _dirac(6, kind="twisted-mass", kappa=0.122, mu=0.03)
+        base = dict(block=(2, 2, 2, 2), nvec=6, setup_tol=1e-4,
+                    setup_maxiter=200, nu_post=4)
+        b = rng.random_spinor(jax.random.PRNGKey(8), GEOM)
+        mg_pc = setup_mg(d, MGParams(smoother_pc=True, **base),
+                         jax.random.PRNGKey(7))
+        out = mg_solve(mg_pc, b, tol=1e-8, n_krylov=10, max_restarts=30)
+        r = b - d.m(out.x)
+        relres = float(jnp.linalg.norm(r.ravel())
+                       / jnp.linalg.norm(b.ravel()))
+        assert relres < 1e-6, relres
+        mg_full = setup_mg(d, MGParams(**base), jax.random.PRNGKey(7))
+        out_full = mg_solve(mg_full, b, tol=1e-8, n_krylov=10,
+                            max_restarts=30)
+        assert int(out.iters) <= int(out_full.iters) + 2

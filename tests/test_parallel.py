@@ -58,6 +58,34 @@ def test_sharded_invert_matches(grid):
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), atol=1e-9)
 
 
+@pytest.mark.parametrize("grid", [(2, 2, 1)])
+def test_sharded_mg_solve_matches(grid):
+    """MG outer solve with the replicated-coarse V-cycle on a mesh
+    matches the single-device solve (coarse-level resharding,
+    SURVEY.md §7 hard-part 3)."""
+    from quda_qkxtm_multigrid_tpu.mg.multigrid import (MGParams, setup_mg,
+                                                       mg_solve)
+    u, b = _fields(3)
+    d = make_dirac(u, DiracParams(kind="twisted-mass", kappa=0.122,
+                                  mu=0.03), GEOM)
+    params = MGParams(block=(2, 2, 2, 2), nvec=6, setup_tol=1e-4,
+                      setup_maxiter=200, nu_post=4)
+    mg = setup_mg(d, params, jax.random.PRNGKey(7))
+    ref = mg_solve(mg, b, tol=1e-8, max_restarts=30)
+
+    mesh = make_lattice_mesh(grid)
+    import dataclasses as _dc
+    mg_s = _dc.replace(mg, dirac=shard_dirac(d, mesh))
+    b_s = shard_spinor(b, mesh)
+    with jax.set_mesh(mesh):
+        got = mg_solve(mg_s, b_s, tol=1e-8, max_restarts=30, mesh=mesh)
+    r = b - d.m(got.x)
+    relres = float(jnp.linalg.norm(r.ravel()) / jnp.linalg.norm(b.ravel()))
+    assert relres < 1e-6, relres
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               atol=1e-7)
+
+
 def test_mesh_too_large_raises():
     with pytest.raises(ValueError):
         make_lattice_mesh((4, 4, 4))
