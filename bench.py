@@ -41,7 +41,7 @@ def main():
     # INSIDE one jit ending in a scalar reduction fetched to host (this
     # backend's block_until_ready does not reliably block), and take the
     # slope between two chain lengths to cancel dispatch/fetch overhead.
-    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas2 import dslash_parity_pallas2
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import dslash_parity_pallas5
     use_pallas = on_tpu
 
     def chain(n):
@@ -49,7 +49,7 @@ def main():
         def f(ud_or_u, p):
             def body(i, v):
                 if use_pallas:
-                    return dslash_parity_pallas2(ud_or_u, v, 0, geom,
+                    return dslash_parity_pallas5(ud_or_u, v, 0, geom,
                                                  recon12=True) * 0.125
                 return dsl.dslash_parity(ud_or_u, v, 0, geom) * 0.125
             return jnp.sum(jnp.abs(jax.lax.fori_loop(0, n, body, p)))
@@ -82,7 +82,7 @@ def main():
         "detail": {
             "geom": list(geom.dims), "dtype": "complex64",
             "backend": jax.default_backend(),
-            "path": "pallas-v2-recon12" if on_tpu else "xla-shift",
+            "path": "pallas-v5-recon12" if on_tpu else "xla-shift",
             "ms_per_apply": round(dt * 1e3, 4),
             "speed_of_light_gflops": sol,
         },

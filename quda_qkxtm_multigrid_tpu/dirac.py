@@ -100,12 +100,38 @@ class Dirac:
     # ---- hopping ----------------------------------------------------
     def dslash(self, psi_opp, parity: int, dagger: bool = False):
         if self.params.use_pallas and self.u_doubled is not None:
-            from quda_qkxtm_multigrid_tpu.ops.dslash_pallas2 import (
-                dslash_parity_pallas2)
-            return dslash_parity_pallas2(self.u_doubled, psi_opp, parity,
+            from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+                dslash_parity_pallas5)
+            return dslash_parity_pallas5(self.u_doubled, psi_opp, parity,
                                          self.geom, dagger, recon12=True,
                                          bf16=self.params.pallas_bf16)
         return _dsl.dslash_parity(self.u, psi_opp, parity, self.geom, dagger)
+
+    def _matpc_pallas_tm(self, psi_p, dagger: bool):
+        """Fused twisted-mass symmetric matpc: the A⁻¹ twists and the
+        final −κ² xpay run in the dslash kernel epilogues (the role of
+        the reference's fused tm_dslash_def.h kernels) — the whole
+        Schur operator is two Pallas calls and zero standalone
+        elementwise passes (one for the dagger ordering)."""
+        from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+            dslash_parity_pallas5 as v5)
+        p = self.params
+        pr, k = p.matpc_parity, p.kappa
+        a = 2.0 * p.kappa * p.mu * p.flavor
+        if dagger:
+            a = -a
+        tw = (-a, 1.0 / (1.0 + a * a))
+        kw = dict(recon12=True, bf16=p.pallas_bf16)
+        if not dagger:
+            t = v5(self.u_doubled, psi_p, 1 - pr, self.geom, twist=tw, **kw)
+            return v5(self.u_doubled, t, pr, self.geom, twist=tw,
+                      xpay_coef=-(k * k), x=psi_p, **kw)
+        t = _twist.twist_apply(psi_p, p.kappa, p.mu, p.flavor,
+                               dagger=True, inverse=True)
+        t = v5(self.u_doubled, t, 1 - pr, self.geom, dagger=True,
+               twist=tw, **kw)
+        return v5(self.u_doubled, t, pr, self.geom, dagger=True,
+                  xpay_coef=-(k * k), x=psi_p, **kw)
 
     # ---- parity-diagonal term A ------------------------------------
     def a_apply(self, psi_p, parity: int, dagger: bool = False):
@@ -152,6 +178,9 @@ class Dirac:
     # ---- even-odd preconditioned operator ----------------------------
     def matpc(self, psi_p, dagger: bool = False):
         p = self.params
+        if (p.use_pallas and self.u_doubled is not None
+                and p.kind == "twisted-mass" and not p.asymmetric):
+            return self._matpc_pallas_tm(psi_p, dagger)
         pr, k = p.matpc_parity, p.kappa
         if p.asymmetric:
             t = self.dslash(psi_p, 1 - pr, dagger)

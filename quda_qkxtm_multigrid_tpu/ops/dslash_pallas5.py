@@ -1,0 +1,239 @@
+"""Pallas TPU Wilson-Dslash kernel, v5: full-Z blocks, 3-operand psi.
+
+v2's grid tiles Z into zb-row blocks, paying FIVE psi block fetches per
+output block (center, t±1, z±1).  v5 sets the block to the FULL Z
+extent: the z±1 neighbours become in-register sublane rolls (with the
+global periodic wrap coming for free from pltpu.roll), so only center
+and t±1 remain — psi traffic drops 5→3 blocks (960→768 B/site in f32
+recon-12), with no edge machinery at all.  Costs VMEM: at 32³×64 the
+working set is ~25 MB, which fits this generation's VMEM comfortably.
+
+Everything else (gamma algebra, recon-12, x/y lane rolls, bf16 tier) is
+shared with v2 via the same kernel body, parameterised by full_z.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quda_qkxtm_multigrid_tpu.lattice import Geometry
+from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
+    _to_channels, _from_channels)
+from quda_qkxtm_multigrid_tpu.ops.dslash_pallas2 import _proj_rank2
+
+
+def _kernel_v5(geom: Geometry, dagger: bool, parity: int,
+               recon12: bool, bf16: bool,
+               twist: tuple | None = None, xpay_coef: float | None = None):
+    """twist = (a, b): apply b·(1 + i a γ5) to the hop result IN the
+    kernel epilogue — the fused twist/A⁻¹ of the twisted-mass matpc
+    (the role of the reference's fused tm_dslash_def.h kernels,
+    reference lib/dslash_core/tm_dslash_def.h:633) at zero extra HBM
+    traffic.  xpay_coef: fused out = x + coef·(hop result) with x as an
+    extra operand (the reference's Xpay fusion, wilson_dslash*Xpay)."""
+    Xh, W, Z, T = geom.Xh, geom.W, geom.Z, geom.T
+    zb = Z
+
+    def kernel(*refs):
+        if xpay_coef is not None:
+            psi_c, psi_tp, psi_tm, g_ref, x_ref, out_ref = refs
+        else:
+            psi_c, psi_tp, psi_tm, g_ref, out_ref = refs
+            x_ref = None
+        t_idx = pl.program_id(0)
+        zloc = jax.lax.broadcasted_iota(jnp.int32, (zb, W), 0)
+        wlane = jax.lax.broadcasted_iota(jnp.int32, (zb, W), 1)
+        y = wlane // Xh
+        k = wlane - y * Xh
+        s0 = ((t_idx + zloc + y + parity) % 2) == 0
+        k_last = k == Xh - 1
+        k_first = k == 0
+
+        def _ld(ref, idx):
+            v = ref[0, idx]
+            return v.astype(jnp.float32) if bf16 else v
+
+        def psi(ref, s, c, ri):
+            return _ld(ref, (s * 3 + c) * 2 + ri)
+
+        nrows = 2 if recon12 else 3
+        _row2_cache = {}
+
+        def _gauge_row2(d, fb):
+            key = (d, fb)
+            if key not in _row2_cache:
+                def g2(a, b, ri):
+                    return _ld(g_ref,
+                               (((d * 2 + fb) * nrows + a) * 3 + b) * 2 + ri)
+                row = []
+                for c in range(3):
+                    b1, b2 = (c + 1) % 3, (c + 2) % 3
+                    ar, ai = g2(0, b1, 0), g2(0, b1, 1)
+                    br, bi = g2(1, b2, 0), g2(1, b2, 1)
+                    cr_, ci_ = g2(0, b2, 0), g2(0, b2, 1)
+                    dr, di = g2(1, b1, 0), g2(1, b1, 1)
+                    re = (ar * br - ai * bi) - (cr_ * dr - ci_ * di)
+                    im = (ar * bi + ai * br) - (cr_ * di + ci_ * dr)
+                    row.append((re, -im))
+                _row2_cache[key] = row
+            return _row2_cache[key]
+
+        def gauge(d, fb, a, b, ri):
+            if recon12 and a == 2:
+                return _gauge_row2(d, fb)[b][ri]
+            return _ld(g_ref, (((d * 2 + fb) * nrows + a) * 3 + b) * 2 + ri)
+
+        def shift_y(v, forward):
+            return pltpu.roll(v, (W - Xh) if forward else Xh, axis=1)
+
+        def shift_x(v, forward):
+            if forward:
+                wrap = pltpu.roll(v, Xh - 1, axis=1)
+                near = pltpu.roll(v, W - 1, axis=1)
+                odd = jnp.where(k_last, wrap, near)
+                return jnp.where(s0, v, odd)
+            else:
+                wrap = pltpu.roll(v, W - (Xh - 1), axis=1)
+                near = pltpu.roll(v, 1, axis=1)
+                even = jnp.where(k_first, wrap, near)
+                return jnp.where(s0, even, v)
+
+        def neighbor(mu, forward, s, c, ri):
+            ch = (s, c, ri)
+            if mu == 3:
+                return psi(psi_tp if forward else psi_tm, *ch)
+            v = psi(psi_c, *ch)
+            if mu == 2:
+                # full-Z block: z±1 is a sublane roll, wrap included
+                return pltpu.roll(v, Z - 1 if forward else 1, axis=0)
+            return shift_y(v, forward) if mu == 1 else shift_x(v, forward)
+
+        def cmul_const(cr, ci, vr, vi):
+            if ci == 0.0:
+                if cr == 1.0:
+                    return vr, vi
+                if cr == -1.0:
+                    return -vr, -vi
+                return cr * vr, cr * vi
+            if cr == 0.0:
+                if ci == 1.0:
+                    return -vi, vr
+                if ci == -1.0:
+                    return vi, -vr
+                return -ci * vi, ci * vr
+            return cr * vr - ci * vi, cr * vi + ci * vr
+
+        acc = [[None, None] for _ in range(12)]
+        for mu in range(4):
+            for fb, (fwd, plus) in enumerate(((True, dagger),
+                                              (False, not dagger))):
+                upper, recon = _proj_rank2(mu, plus)
+                nb = [[(neighbor(mu, fwd, tt, c, 0),
+                        neighbor(mu, fwd, tt, c, 1))
+                       for c in range(3)] for tt in range(4)]
+                h = [[None, None, None] for _ in range(2)]
+                for s in (0, 1):
+                    for (tt, coef) in upper[s]:
+                        for c in range(3):
+                            term = cmul_const(coef.real, coef.imag,
+                                              *nb[tt][c])
+                            cur = h[s][c]
+                            h[s][c] = term if cur is None else (
+                                cur[0] + term[0], cur[1] + term[1])
+                uh = [[None, None, None] for _ in range(2)]
+                for s in (0, 1):
+                    for a in range(3):
+                        tr = ti = None
+                        for b in range(3):
+                            if fb == 0:
+                                ur = gauge(mu, 0, a, b, 0)
+                                ui = gauge(mu, 0, a, b, 1)
+                            else:
+                                ur = gauge(mu, 1, b, a, 0)
+                                ui = -gauge(mu, 1, b, a, 1)
+                            vr, vi = h[s][b]
+                            pr = ur * vr - ui * vi
+                            pi = ur * vi + ui * vr
+                            tr = pr if tr is None else tr + pr
+                            ti = pi if ti is None else ti + pi
+                        uh[s][a] = (tr, ti)
+                for s in range(4):
+                    if s < 2:
+                        src_row, coef = s, 1.0 + 0j
+                    else:
+                        src_row, coef = recon[s - 2]
+                    for a in range(3):
+                        vr, vi = uh[src_row][a]
+                        tr, ti = cmul_const(coef.real, coef.imag, vr, vi)
+                        kk = s * 3 + a
+                        if acc[kk][0] is None:
+                            acc[kk] = [tr, ti]
+                        else:
+                            acc[kk][0] = acc[kk][0] + tr
+                            acc[kk][1] = acc[kk][1] + ti
+
+        for kk in range(12):
+            re, im = acc[kk][0], acc[kk][1]
+            if twist is not None:
+                a, b = twist
+                g5s = 1.0 if kk < 6 else -1.0   # spins 0,1 vs 2,3
+                re, im = b * (re - (a * g5s) * im), b * (im + (a * g5s) * re)
+            if xpay_coef is not None:
+                re = x_ref[0, 2 * kk].astype(jnp.float32) + xpay_coef * re
+                im = x_ref[0, 2 * kk + 1].astype(jnp.float32) + xpay_coef * im
+            out_ref[0, 2 * kk] = re
+            out_ref[0, 2 * kk + 1] = im
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("parity", "geom", "dagger",
+                                   "interpret", "recon12", "bf16",
+                                   "twist", "xpay_coef"))
+def dslash_parity_pallas5(ud, psi_opp, parity: int, geom: Geometry,
+                          dagger: bool = False, interpret: bool = False,
+                          recon12: bool = False, bf16: bool = False,
+                          twist: tuple | None = None,
+                          xpay_coef: float | None = None, x=None):
+    """v5 full-Z dslash: same semantics as dslash_parity_pallas2, plus
+    fused epilogues:
+      twist=(a, b)  → out = b (1 + i a γ5) (D ψ)   [A±¹ fusion]
+      xpay_coef, x  → out = x + xpay_coef · (epilogue result)
+    (compose: twist applies first, then xpay)."""
+    T, Z, W = geom.T, geom.Z, geom.W
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    psi_ch = _to_channels(psi_opp).astype(cdt)           # [T, 24, Z, W]
+    g = ud[:, parity][:, :, :2] if recon12 else ud[:, parity]
+    g_ch = _to_channels(g).astype(cdt)
+    ng = 96 if recon12 else 144
+
+    kernel = _kernel_v5(geom, dagger, parity, recon12, bf16, twist,
+                        xpay_coef)
+    pspec = lambda im: pl.BlockSpec((1, 24, Z, W), im,
+                                    memory_space=pltpu.VMEM)
+    ins = [psi_ch, psi_ch, psi_ch, g_ch]
+    in_specs = [pspec(lambda i: (i, 0, 0, 0)),
+                pspec(lambda i: ((i + 1) % T, 0, 0, 0)),
+                pspec(lambda i: ((i - 1) % T, 0, 0, 0)),
+                pl.BlockSpec((1, ng, Z, W), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if xpay_coef is not None:
+        ins.append(_to_channels(x).astype(cdt))
+        in_specs.append(pspec(lambda i: (i, 0, 0, 0)))
+    out = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 24, Z, W), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, 24, Z, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(*ins)
+    return _from_channels(out, (4, 3))

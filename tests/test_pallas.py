@@ -70,6 +70,70 @@ def test_v3_shmap_matches_xla(fields, grid):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("recon12", [False, True])
+@pytest.mark.parametrize("parity", [0, 1])
+def test_v5_matches_xla(fields, parity, recon12):
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+        dslash_parity_pallas5)
+    u, ud, psi = fields
+    ref = dsl.dslash_parity(u, psi[1 - parity], parity, GEOM)
+    got = dslash_parity_pallas5(ud, psi[1 - parity], parity, GEOM,
+                                interpret=True, recon12=recon12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("dagger", [False, True])
+def test_v5_twist_xpay_epilogues(fields, dagger):
+    """Fused b(1 + i a γ5) twist + xpay epilogues match the unfused
+    composition (the reference's fused tm_dslash kernels,
+    lib/dslash_core/tm_dslash_def.h)."""
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+        dslash_parity_pallas5)
+    from quda_qkxtm_multigrid_tpu.ops import twist as tw
+    u, ud, psi = fields
+    a, b = 0.17, 1.0 / (1.0 + 0.17 ** 2)
+    d = dsl.dslash_parity(u, psi[1], 0, GEOM, dagger)
+    g5 = jnp.asarray([1, 1, -1, -1], d.dtype).reshape(4, 1, 1, 1, 1)
+    ref = psi[0] - 0.25 * (b * (d + 1j * a * g5 * d))
+    got = dslash_parity_pallas5(ud, psi[1], 0, GEOM, dagger=dagger,
+                                interpret=True, recon12=True,
+                                twist=(a, b), xpay_coef=-0.25, x=psi[0])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("dagger", [False, True])
+def test_fused_tm_matpc(fields, dagger):
+    """The fully-fused twisted-mass matpc (Dirac._matpc_pallas_tm
+    composition) matches the XLA matpc, composed here with
+    interpret-mode kernels."""
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+        dslash_parity_pallas5 as v5)
+    from quda_qkxtm_multigrid_tpu.ops import twist as _twist
+    from quda_qkxtm_multigrid_tpu.dirac import DiracParams, make_dirac
+    u, ud, psi = fields
+    kappa, mu, flavor = 0.115, 0.05, +1
+    d = make_dirac(u.astype(jnp.complex64),
+                   DiracParams(kind="twisted-mass", kappa=kappa, mu=mu,
+                               flavor=flavor), GEOM)
+    ref = d.matpc(psi[0], dagger=dagger)
+    a = 2.0 * kappa * mu * flavor
+    if dagger:
+        a = -a
+    twp = (-a, 1.0 / (1.0 + a * a))
+    kw = dict(recon12=True, interpret=True)
+    if not dagger:
+        t = v5(ud, psi[0], 1, GEOM, twist=twp, **kw)
+        got = v5(ud, t, 0, GEOM, twist=twp, xpay_coef=-(kappa * kappa),
+                 x=psi[0], **kw)
+    else:
+        t = _twist.twist_apply(psi[0], kappa, mu, flavor, dagger=True,
+                               inverse=True)
+        t = v5(ud, t, 1, GEOM, dagger=True, twist=twp, **kw)
+        got = v5(ud, t, 0, GEOM, dagger=True,
+                 xpay_coef=-(kappa * kappa), x=psi[0], **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_v2_bf16_close(fields):
     u, ud, psi = fields
     ref = dsl.dslash_parity(u, psi[1], 0, GEOM)
