@@ -40,6 +40,17 @@ from quda_qkxtm_multigrid_tpu.ops import dslash as _dsl
 from quda_qkxtm_multigrid_tpu.ops import twist as _twist
 
 
+def _ch_twist(psi_ch, a: float, b: float):
+    """b (1 + i a γ5) on a planar-channel field [T, 24, Z, W]
+    (channel (s*3+c)*2 + ri; γ5 = +1 for spins 0,1 and −1 for 2,3)."""
+    re, im = psi_ch[:, 0::2], psi_ch[:, 1::2]
+    g5 = jnp.asarray([1.0] * 6 + [-1.0] * 6,
+                     psi_ch.dtype).reshape(1, 12, 1, 1)
+    out_re = b * (re - (a * g5) * im)
+    out_im = b * (im + (a * g5) * re)
+    return jnp.stack([out_re, out_im], axis=2).reshape(psi_ch.shape)
+
+
 @dataclasses.dataclass(frozen=True)
 class DiracParams:
     """Static operator parameters (the role of QudaInvertParam's operator
@@ -107,31 +118,39 @@ class Dirac:
                                          bf16=self.params.pallas_bf16)
         return _dsl.dslash_parity(self.u, psi_opp, parity, self.geom, dagger)
 
-    def _matpc_pallas_tm(self, psi_p, dagger: bool):
-        """Fused twisted-mass symmetric matpc: the A⁻¹ twists and the
-        final −κ² xpay run in the dslash kernel epilogues (the role of
-        the reference's fused tm_dslash_def.h kernels) — the whole
-        Schur operator is two Pallas calls and zero standalone
-        elementwise passes (one for the dagger ordering)."""
+    def _matpc_tm_ch(self, psi_ch, dagger: bool, interpret: bool = False):
+        """Channel-domain fused twisted-mass symmetric matpc: the A⁻¹
+        twists and the final −κ² xpay run in the dslash kernel epilogues
+        (the role of the reference's fused tm_dslash_def.h kernels) and
+        the whole chain stays in planar-channel layout — zero standalone
+        elementwise or layout-conversion passes."""
         from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
-            dslash_parity_pallas5 as v5)
+            dslash_ch_pallas5 as v5ch, gauge_channels)
         p = self.params
         pr, k = p.matpc_parity, p.kappa
         a = 2.0 * p.kappa * p.mu * p.flavor
         if dagger:
             a = -a
         tw = (-a, 1.0 / (1.0 + a * a))
-        kw = dict(recon12=True, bf16=p.pallas_bf16)
+        kw = dict(recon12=True, bf16=p.pallas_bf16, interpret=interpret)
+        g_p = gauge_channels(self.u_doubled, pr, True, p.pallas_bf16)
+        g_o = gauge_channels(self.u_doubled, 1 - pr, True, p.pallas_bf16)
         if not dagger:
-            t = v5(self.u_doubled, psi_p, 1 - pr, self.geom, twist=tw, **kw)
-            return v5(self.u_doubled, t, pr, self.geom, twist=tw,
-                      xpay_coef=-(k * k), x=psi_p, **kw)
-        t = _twist.twist_apply(psi_p, p.kappa, p.mu, p.flavor,
-                               dagger=True, inverse=True)
-        t = v5(self.u_doubled, t, 1 - pr, self.geom, dagger=True,
-               twist=tw, **kw)
-        return v5(self.u_doubled, t, pr, self.geom, dagger=True,
-                  xpay_coef=-(k * k), x=psi_p, **kw)
+            t = v5ch(g_o, psi_ch, 1 - pr, self.geom, twist=tw, **kw)
+            return v5ch(g_p, t, pr, self.geom, twist=tw,
+                        xpay_coef=-(k * k), x_ch=psi_ch, **kw)
+        # A⁻¹† first (channel-domain diagonal twist: per-spin rotation)
+        t = _ch_twist(psi_ch, tw[0], tw[1])
+        t = v5ch(g_o, t, 1 - pr, self.geom, dagger=True, twist=tw, **kw)
+        return v5ch(g_p, t, pr, self.geom, dagger=True,
+                    xpay_coef=-(k * k), x_ch=psi_ch, **kw)
+
+    def _matpc_pallas_tm(self, psi_p, dagger: bool):
+        from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
+            _to_channels, _from_channels)
+        out = self._matpc_tm_ch(
+            _to_channels(psi_p).astype(jnp.float32), dagger)
+        return _from_channels(out, (4, 3))
 
     # ---- parity-diagonal term A ------------------------------------
     def a_apply(self, psi_p, parity: int, dagger: bool = False):
@@ -200,6 +219,18 @@ class Dirac:
             return psi_p - (k * k) * t
 
     def matpc_dagm(self, psi_p):
+        p = self.params
+        if (p.use_pallas and self.u_doubled is not None
+                and p.kind == "twisted-mass" and not p.asymmetric):
+            from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
+                _to_channels, _from_channels)
+            # spinors stay f32 through the chain even in the bf16 tier
+            # (bf16 applies to the GAUGE operand; a bf16 intermediate
+            # would cost a conversion pass and precision for no bytes)
+            t = self._matpc_tm_ch(_to_channels(psi_p).astype(jnp.float32),
+                                  False)
+            t = self._matpc_tm_ch(t, True)
+            return _from_channels(t, (4, 3))
         return self.matpc(self.matpc(psi_p), dagger=True)
 
     # ---- Schur source prep / solution rebuild ------------------------

@@ -26,15 +26,38 @@ class InvertResult(NamedTuple):
     true_res: jax.Array   # |M x − b| / |b|
 
 
+def _fused_tm(dirac: Dirac) -> bool:
+    p = dirac.params
+    return (p.use_pallas and dirac.u_doubled is not None
+            and p.kind == "twisted-mass" and not p.asymmetric)
+
+
 def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
            solver: str = "cg", sloppy_dirac: Dirac | None = None,
            inner_tol: float = 1e-2) -> InvertResult:
     """Solve M x = b via CG on the even-odd preconditioned normal
-    equations M_pc† M_pc x_p = M_pc† src (QUDA_NORMOP_PC_SOLVE)."""
+    equations M_pc† M_pc x_p = M_pc† src (QUDA_NORMOP_PC_SOLVE).
+
+    When the operator has the fused Pallas path (twisted-mass,
+    use_pallas), the CG hot loop runs entirely in planar-channel f32
+    layout — the matvec is 4 fused kernels with no elementwise or
+    layout-conversion passes between them."""
     src = dirac.prepare(b)
     rhs = dirac.matpc(src, dagger=True)
 
-    if solver == "cg":
+    if solver == "cg" and _fused_tm(dirac):
+        from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
+            _to_channels, _from_channels)
+
+        def matvec_ch(v_ch):
+            return dirac._matpc_tm_ch(dirac._matpc_tm_ch(v_ch, False),
+                                      True)
+
+        rhs_ch = _to_channels(rhs).astype(jnp.float32)
+        res_ch = cg(matvec_ch, rhs_ch, tol=tol, maxiter=maxiter)
+        res = res_ch._replace(
+            x=_from_channels(res_ch.x, (4, 3)).astype(rhs.dtype))
+    elif solver == "cg":
         res = cg(dirac.matpc_dagm, rhs, tol=tol, maxiter=maxiter)
     elif solver == "cg-mixed":
         if sloppy_dirac is None:

@@ -192,24 +192,18 @@ def _kernel_v5(geom: Geometry, dagger: bool, parity: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("parity", "geom", "dagger",
-                                   "interpret", "recon12", "bf16",
-                                   "twist", "xpay_coef"))
-def dslash_parity_pallas5(ud, psi_opp, parity: int, geom: Geometry,
-                          dagger: bool = False, interpret: bool = False,
-                          recon12: bool = False, bf16: bool = False,
-                          twist: tuple | None = None,
-                          xpay_coef: float | None = None, x=None):
-    """v5 full-Z dslash: same semantics as dslash_parity_pallas2, plus
-    fused epilogues:
-      twist=(a, b)  → out = b (1 + i a γ5) (D ψ)   [A±¹ fusion]
-      xpay_coef, x  → out = x + xpay_coef · (epilogue result)
-    (compose: twist applies first, then xpay)."""
+def dslash_ch_pallas5(g_ch, psi_ch, parity: int, geom: Geometry,
+                      dagger: bool = False, interpret: bool = False,
+                      recon12: bool = False, bf16: bool = False,
+                      twist: tuple | None = None,
+                      xpay_coef: float | None = None, x_ch=None):
+    """Channel-domain v5: psi_ch/g_ch/x_ch already in planar-channel
+    layout ([T, 24, Z, W] / [T, 96|144, Z, W]), output [T, 24, Z, W]
+    f32.  Solver hot loops stay in this layout end-to-end — the
+    complex↔planar conversions are real HBM passes (~384 B/site per
+    call) that put the naive wrapper at the DMA floor; keeping the
+    chain in channel form removes them entirely."""
     T, Z, W = geom.T, geom.Z, geom.W
-    cdt = jnp.bfloat16 if bf16 else jnp.float32
-    psi_ch = _to_channels(psi_opp).astype(cdt)           # [T, 24, Z, W]
-    g = ud[:, parity][:, :, :2] if recon12 else ud[:, parity]
-    g_ch = _to_channels(g).astype(cdt)
     ng = 96 if recon12 else 144
 
     kernel = _kernel_v5(geom, dagger, parity, recon12, bf16, twist,
@@ -223,9 +217,9 @@ def dslash_parity_pallas5(ud, psi_opp, parity: int, geom: Geometry,
                 pl.BlockSpec((1, ng, Z, W), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)]
     if xpay_coef is not None:
-        ins.append(_to_channels(x).astype(cdt))
+        ins.append(x_ch)
         in_specs.append(pspec(lambda i: (i, 0, 0, 0)))
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=in_specs,
@@ -236,4 +230,34 @@ def dslash_parity_pallas5(ud, psi_opp, parity: int, geom: Geometry,
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(*ins)
+
+
+def gauge_channels(ud, parity: int, recon12: bool, bf16: bool):
+    """Doubled gauge → channel layout for one parity (hoist out of
+    solver loops: loop-invariant, so XLA CSEs it, but precomputing makes
+    the invariance explicit)."""
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    g = ud[:, parity][:, :, :2] if recon12 else ud[:, parity]
+    return _to_channels(g).astype(cdt)
+
+
+@partial(jax.jit, static_argnames=("parity", "geom", "dagger",
+                                   "interpret", "recon12", "bf16",
+                                   "twist", "xpay_coef"))
+def dslash_parity_pallas5(ud, psi_opp, parity: int, geom: Geometry,
+                          dagger: bool = False, interpret: bool = False,
+                          recon12: bool = False, bf16: bool = False,
+                          twist: tuple | None = None,
+                          xpay_coef: float | None = None, x=None):
+    """v5 full-Z dslash: same semantics as dslash_parity_pallas2, plus
+    fused epilogues:
+      twist=(a, b)  → out = b (1 + i a γ5) (D ψ)   [A±¹ fusion]
+      xpay_coef, x  → out = x + xpay_coef · (epilogue result)
+    (compose: twist applies first, then xpay)."""
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    psi_ch = _to_channels(psi_opp).astype(cdt)           # [T, 24, Z, W]
+    g_ch = gauge_channels(ud, parity, recon12, bf16)
+    x_ch = _to_channels(x).astype(cdt) if xpay_coef is not None else None
+    out = dslash_ch_pallas5(g_ch, psi_ch, parity, geom, dagger, interpret,
+                            recon12, bf16, twist, xpay_coef, x_ch)
     return _from_channels(out, (4, 3))

@@ -116,21 +116,15 @@ def test_fused_tm_matpc(fields, dagger):
                    DiracParams(kind="twisted-mass", kappa=kappa, mu=mu,
                                flavor=flavor), GEOM)
     ref = d.matpc(psi[0], dagger=dagger)
-    a = 2.0 * kappa * mu * flavor
-    if dagger:
-        a = -a
-    twp = (-a, 1.0 / (1.0 + a * a))
-    kw = dict(recon12=True, interpret=True)
-    if not dagger:
-        t = v5(ud, psi[0], 1, GEOM, twist=twp, **kw)
-        got = v5(ud, t, 0, GEOM, twist=twp, xpay_coef=-(kappa * kappa),
-                 x=psi[0], **kw)
-    else:
-        t = _twist.twist_apply(psi[0], kappa, mu, flavor, dagger=True,
-                               inverse=True)
-        t = v5(ud, t, 1, GEOM, dagger=True, twist=twp, **kw)
-        got = v5(ud, t, 0, GEOM, dagger=True,
-                 xpay_coef=-(kappa * kappa), x=psi[0], **kw)
+    # drive the PRODUCTION fused channel-domain path (interpret mode)
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
+        _to_channels, _from_channels)
+    import dataclasses as _dc
+    d_f = _dc.replace(d, u_doubled=ud,
+                      params=_dc.replace(d.params, use_pallas=True))
+    ch = _to_channels(psi[0]).astype(jnp.float32)
+    got = _from_channels(d_f._matpc_tm_ch(ch, dagger, interpret=True),
+                         (4, 3))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
