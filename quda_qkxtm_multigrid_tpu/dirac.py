@@ -40,6 +40,26 @@ from quda_qkxtm_multigrid_tpu.ops import dslash as _dsl
 from quda_qkxtm_multigrid_tpu.ops import twist as _twist
 
 
+def _ch_clover_apply(v_ch, cinv_ch, dag: bool = False):
+    """Chiral-block 6×6 matrix field applied to a planar-channel spinor
+    (standalone XLA pass, used only for the leading A⁻¹† of the dagger
+    ordering — the other applications are fused into the kernels)."""
+    t, _, z, w = v_ch.shape
+    vr = v_ch[:, 0::2].reshape(t, 2, 6, z, w).astype(jnp.float32)
+    vi = v_ch[:, 1::2].reshape(t, 2, 6, z, w).astype(jnp.float32)
+    m = cinv_ch.reshape(t, 2, 6, 6, 2, z, w).astype(jnp.float32)
+    mr, mi = m[:, :, :, :, 0], m[:, :, :, :, 1]
+    if dag:
+        mr = jnp.swapaxes(mr, 2, 3)
+        mi = -jnp.swapaxes(mi, 2, 3)
+    out_r = (jnp.einsum("thrczw,thczw->thrzw", mr, vr)
+             - jnp.einsum("thrczw,thczw->thrzw", mi, vi))
+    out_i = (jnp.einsum("thrczw,thczw->thrzw", mr, vi)
+             + jnp.einsum("thrczw,thczw->thrzw", mi, vr))
+    out = jnp.stack([out_r, out_i], axis=3)      # [T,2,6,2,Z,W]
+    return out.reshape(v_ch.shape[0], 24, z, w)
+
+
 def _ch_twist(psi_ch, a: float, b: float):
     """b (1 + i a γ5) on a planar-channel field [T, 24, Z, W]
     (channel (s*3+c)*2 + ri; γ5 = +1 for spins 0,1 and −1 for 2,3)."""
@@ -145,10 +165,43 @@ class Dirac:
         return v5ch(g_p, t, pr, self.geom, dagger=True,
                     xpay_coef=-(k * k), x_ch=psi_ch, **kw)
 
+    def _matpc_clover_ch(self, psi_ch, dagger: bool,
+                         interpret: bool = False):
+        """Channel-domain fused (twisted-)clover symmetric matpc: the
+        A⁻¹ chiral 6×6 matvecs run in the dslash kernel epilogues (the
+        role of the reference's fused tmc_dslash kernels,
+        lib/dslash_core/tmc_dslash_def.h)."""
+        from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+            dslash_ch_pallas5 as v5ch, gauge_channels, clover_channels)
+        p = self.params
+        pr, k = p.matpc_parity, p.kappa
+        bf = p.pallas_bf16
+        kw = dict(recon12=True, bf16=bf, interpret=interpret)
+        g_p = gauge_channels(self.u_doubled, pr, True, bf)
+        g_o = gauge_channels(self.u_doubled, 1 - pr, True, bf)
+        ci_p = clover_channels(self.clover_inv, pr, bf)
+        ci_o = clover_channels(self.clover_inv, 1 - pr, bf)
+        if not dagger:
+            t = v5ch(g_o, psi_ch, 1 - pr, self.geom, clover="fwd",
+                     cinv_ch=ci_o, **kw)
+            return v5ch(g_p, t, pr, self.geom, clover="fwd", cinv_ch=ci_p,
+                        xpay_coef=-(k * k), x_ch=psi_ch, **kw)
+        t = _ch_clover_apply(psi_ch, ci_p, dag=True)
+        t = v5ch(g_o, t, 1 - pr, self.geom, dagger=True, clover="dag",
+                 cinv_ch=ci_o, **kw)
+        return v5ch(g_p, t, pr, self.geom, dagger=True,
+                    xpay_coef=-(k * k), x_ch=psi_ch, **kw)
+
+    def _fused_matpc_ch(self, psi_ch, dagger: bool,
+                        interpret: bool = False):
+        if self.params.has_clover:
+            return self._matpc_clover_ch(psi_ch, dagger, interpret)
+        return self._matpc_tm_ch(psi_ch, dagger, interpret)
+
     def _matpc_pallas_tm(self, psi_p, dagger: bool):
         from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
             _to_channels, _from_channels)
-        out = self._matpc_tm_ch(
+        out = self._fused_matpc_ch(
             _to_channels(psi_p).astype(jnp.float32), dagger)
         return _from_channels(out, (4, 3))
 
@@ -194,11 +247,17 @@ class Dirac:
     def mdagm(self, psi):
         return self.mdag(self.m(psi))
 
+    @property
+    def _has_fused_matpc(self) -> bool:
+        p = self.params
+        return (p.use_pallas and self.u_doubled is not None
+                and not p.asymmetric
+                and p.kind in ("twisted-mass", "clover", "twisted-clover"))
+
     # ---- even-odd preconditioned operator ----------------------------
     def matpc(self, psi_p, dagger: bool = False):
         p = self.params
-        if (p.use_pallas and self.u_doubled is not None
-                and p.kind == "twisted-mass" and not p.asymmetric):
+        if self._has_fused_matpc:
             return self._matpc_pallas_tm(psi_p, dagger)
         pr, k = p.matpc_parity, p.kappa
         if p.asymmetric:
@@ -219,17 +278,15 @@ class Dirac:
             return psi_p - (k * k) * t
 
     def matpc_dagm(self, psi_p):
-        p = self.params
-        if (p.use_pallas and self.u_doubled is not None
-                and p.kind == "twisted-mass" and not p.asymmetric):
+        if self._has_fused_matpc:
             from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
                 _to_channels, _from_channels)
             # spinors stay f32 through the chain even in the bf16 tier
             # (bf16 applies to the GAUGE operand; a bf16 intermediate
             # would cost a conversion pass and precision for no bytes)
-            t = self._matpc_tm_ch(_to_channels(psi_p).astype(jnp.float32),
-                                  False)
-            t = self._matpc_tm_ch(t, True)
+            t = self._fused_matpc_ch(
+                _to_channels(psi_p).astype(jnp.float32), False)
+            t = self._fused_matpc_ch(t, True)
             return _from_channels(t, (4, 3))
         return self.matpc(self.matpc(psi_p), dagger=True)
 

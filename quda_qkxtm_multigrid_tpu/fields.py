@@ -38,6 +38,19 @@ def point_source(geom: Geometry, coords, spin: int, color: int,
     return psi.at[p, spin, color, t, z, w].set(1.0)
 
 
+def point_source_dyn(geom: Geometry, coords, spin: int, color: int,
+                     dtype=jnp.complex128):
+    """point_source with TRACED coords (a length-4 int array) — one
+    compiled program serves every source position instead of
+    recompiling the whole solve pipeline per source (the reference's
+    sources are runtime values too, GK_sourcePosition)."""
+    x, y, z, t = coords[0], coords[1], coords[2], coords[3]
+    p = (x + y + z + t) % 2
+    w = y * geom.Xh + x // 2
+    psi = zeros_spinor(geom, dtype)
+    return psi.at[p, spin, color, t, z, w].set(1.0)
+
+
 # lexicographic converters (re-exported from lattice)
 spinor_to_full = spinor_to_lex
 spinor_from_full = spinor_from_lex

@@ -27,9 +27,7 @@ class InvertResult(NamedTuple):
 
 
 def _fused_tm(dirac: Dirac) -> bool:
-    p = dirac.params
-    return (p.use_pallas and dirac.u_doubled is not None
-            and p.kind == "twisted-mass" and not p.asymmetric)
+    return dirac._has_fused_matpc
 
 
 def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
@@ -50,8 +48,8 @@ def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
             _to_channels, _from_channels)
 
         def matvec_ch(v_ch):
-            return dirac._matpc_tm_ch(dirac._matpc_tm_ch(v_ch, False),
-                                      True)
+            return dirac._fused_matpc_ch(dirac._fused_matpc_ch(v_ch, False),
+                                         True)
 
         rhs_ch = _to_channels(rhs).astype(jnp.float32)
         res_ch = cg(matvec_ch, rhs_ch, tol=tol, maxiter=maxiter)

@@ -29,22 +29,36 @@ from quda_qkxtm_multigrid_tpu.ops.dslash_pallas2 import _proj_rank2
 
 def _kernel_v5(geom: Geometry, dagger: bool, parity: int,
                recon12: bool, bf16: bool,
-               twist: tuple | None = None, xpay_coef: float | None = None):
+               twist: tuple | None = None, xpay_coef: float | None = None,
+               clover: str | None = None):
     """twist = (a, b): apply b·(1 + i a γ5) to the hop result IN the
     kernel epilogue — the fused twist/A⁻¹ of the twisted-mass matpc
     (the role of the reference's fused tm_dslash_def.h kernels,
     reference lib/dslash_core/tm_dslash_def.h:633) at zero extra HBM
     traffic.  xpay_coef: fused out = x + coef·(hop result) with x as an
-    extra operand (the reference's Xpay fusion, wilson_dslash*Xpay)."""
+    extra operand (the reference's Xpay fusion, wilson_dslash*Xpay).
+    clover = "fwd"|"dag": apply the chiral-block 6×6 matrix field (an
+    extra [T,144,Z,W] operand, e.g. the twisted-clover A⁻¹) to the hop
+    result — the fused clover epilogue of the reference's tmc_dslash
+    kernels (lib/dslash_core/tmc_dslash_def.h:726); "dag" applies the
+    conjugate transpose.  Mutually exclusive with twist."""
+    assert not (twist is not None and clover is not None)
     Xh, W, Z, T = geom.Xh, geom.W, geom.Z, geom.T
     zb = Z
 
     def kernel(*refs):
+        refs = list(refs)
+        psi_c, psi_tp, psi_tm, g_ref = refs[:4]
+        pos = 4
+        cinv_ref = None
+        if clover is not None:
+            cinv_ref = refs[pos]
+            pos += 1
+        x_ref = None
         if xpay_coef is not None:
-            psi_c, psi_tp, psi_tm, g_ref, x_ref, out_ref = refs
-        else:
-            psi_c, psi_tp, psi_tm, g_ref, out_ref = refs
-            x_ref = None
+            x_ref = refs[pos]
+            pos += 1
+        out_ref = refs[pos]
         t_idx = pl.program_id(0)
         zloc = jax.lax.broadcasted_iota(jnp.int32, (zb, W), 0)
         wlane = jax.lax.broadcasted_iota(jnp.int32, (zb, W), 1)
@@ -177,8 +191,32 @@ def _kernel_v5(geom: Geometry, dagger: bool, parity: int,
                             acc[kk][0] = acc[kk][0] + tr
                             acc[kk][1] = acc[kk][1] + ti
 
+        res = [[acc[kk][0], acc[kk][1]] for kk in range(12)]
+        if clover is not None:
+            # chiral 6x6 complex matvec on the hop result; channel
+            # idx(h, r, c, ri) = ((h*6+r)*6+c)*2+ri; spin-color kk maps
+            # to (h = kk//6, r = kk%6)
+            def cm(h, r, c, ri):
+                return _ld(cinv_ref, ((h * 6 + r) * 6 + c) * 2 + ri)
+
+            new = []
+            for kk in range(12):
+                h, r = kk // 6, kk % 6
+                tr = ti = None
+                for c in range(6):
+                    vr, vi = res[h * 6 + c]
+                    if clover == "fwd":
+                        mr, mi = cm(h, r, c, 0), cm(h, r, c, 1)
+                    else:                      # dag: conj transpose
+                        mr, mi = cm(h, c, r, 0), -cm(h, c, r, 1)
+                    pr_ = mr * vr - mi * vi
+                    pi_ = mr * vi + mi * vr
+                    tr = pr_ if tr is None else tr + pr_
+                    ti = pi_ if ti is None else ti + pi_
+                new.append([tr, ti])
+            res = new
         for kk in range(12):
-            re, im = acc[kk][0], acc[kk][1]
+            re, im = res[kk]
             if twist is not None:
                 a, b = twist
                 g5s = 1.0 if kk < 6 else -1.0   # spins 0,1 vs 2,3
@@ -196,7 +234,8 @@ def dslash_ch_pallas5(g_ch, psi_ch, parity: int, geom: Geometry,
                       dagger: bool = False, interpret: bool = False,
                       recon12: bool = False, bf16: bool = False,
                       twist: tuple | None = None,
-                      xpay_coef: float | None = None, x_ch=None):
+                      xpay_coef: float | None = None, x_ch=None,
+                      clover: str | None = None, cinv_ch=None):
     """Channel-domain v5: psi_ch/g_ch/x_ch already in planar-channel
     layout ([T, 24, Z, W] / [T, 96|144, Z, W]), output [T, 24, Z, W]
     f32.  Solver hot loops stay in this layout end-to-end — the
@@ -207,7 +246,7 @@ def dslash_ch_pallas5(g_ch, psi_ch, parity: int, geom: Geometry,
     ng = 96 if recon12 else 144
 
     kernel = _kernel_v5(geom, dagger, parity, recon12, bf16, twist,
-                        xpay_coef)
+                        xpay_coef, clover)
     pspec = lambda im: pl.BlockSpec((1, 24, Z, W), im,
                                     memory_space=pltpu.VMEM)
     ins = [psi_ch, psi_ch, psi_ch, g_ch]
@@ -216,6 +255,11 @@ def dslash_ch_pallas5(g_ch, psi_ch, parity: int, geom: Geometry,
                 pspec(lambda i: ((i - 1) % T, 0, 0, 0)),
                 pl.BlockSpec((1, ng, Z, W), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)]
+    if clover is not None:
+        ins.append(cinv_ch)
+        in_specs.append(pl.BlockSpec((1, 144, Z, W),
+                                     lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
     if xpay_coef is not None:
         ins.append(x_ch)
         in_specs.append(pspec(lambda i: (i, 0, 0, 0)))
@@ -239,6 +283,107 @@ def gauge_channels(ud, parity: int, recon12: bool, bf16: bool):
     cdt = jnp.bfloat16 if bf16 else jnp.float32
     g = ud[:, parity][:, :, :2] if recon12 else ud[:, parity]
     return _to_channels(g).astype(cdt)
+
+
+def clover_channels(clover_field, parity: int, bf16: bool):
+    """Chiral-block clover (or its inverse) [2p,2ch,6,6,T,Z,W] →
+    channel layout [T, 144, Z, W] for one parity."""
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    return _to_channels(clover_field[parity]).astype(cdt)
+
+
+def dslash_ch_pallas5_local(g_ch, psi_ext_ch, parity: int,
+                            geom_local: Geometry, dagger: bool = False,
+                            interpret: bool = False, recon12: bool = False,
+                            bf16: bool = False, twist: tuple | None = None,
+                            xpay_coef: float | None = None, x_ch=None,
+                            clover: str | None = None, cinv_ch=None):
+    """v5 kernel on a t-extended LOCAL block: psi_ext_ch is
+    [T_loc+2, 24, Z, W] with halo slices at rows 0 and T_loc+1 (from the
+    t∓1 neighbour shards).  The shard's t-offset must be even so the
+    in-kernel checkerboard masks stay valid (guaranteed by even T_loc).
+    """
+    T, Z, W = geom_local.T, geom_local.Z, geom_local.W
+    ng = 96 if recon12 else 144
+    kernel = _kernel_v5(geom_local, dagger, parity, recon12, bf16, twist,
+                        xpay_coef, clover)
+    pspec = lambda im: pl.BlockSpec((1, 24, Z, W), im,
+                                    memory_space=pltpu.VMEM)
+    ins = [psi_ext_ch, psi_ext_ch, psi_ext_ch, g_ch]
+    in_specs = [pspec(lambda i: (i + 1, 0, 0, 0)),
+                pspec(lambda i: (i + 2, 0, 0, 0)),
+                pspec(lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, ng, Z, W), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if clover is not None:
+        ins.append(cinv_ch)
+        in_specs.append(pl.BlockSpec((1, 144, Z, W),
+                                     lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    if xpay_coef is not None:
+        ins.append(x_ch)
+        in_specs.append(pspec(lambda i: (i + 1, 0, 0, 0)))
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 24, Z, W), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, 24, Z, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(*ins)
+
+
+def _t_extend(psi_ch, nt: int):
+    """Attach t-halo rows by ppermute over the "t" mesh axis (inside
+    shard_map): [T_loc, ...] → [T_loc+2, ...]."""
+    if nt > 1:
+        fwd = [(i, (i - 1) % nt) for i in range(nt)]
+        bwd = [(i, (i + 1) % nt) for i in range(nt)]
+        tp_face = jax.lax.ppermute(psi_ch[:1], "t", fwd)
+        tm_face = jax.lax.ppermute(psi_ch[-1:], "t", bwd)
+    else:
+        tp_face, tm_face = psi_ch[:1], psi_ch[-1:]
+    return jnp.concatenate([tm_face, psi_ch, tp_face], axis=0)
+
+
+def dslash_parity_pallas5_shmap(ud, psi_opp, parity: int, geom: Geometry,
+                                mesh, dagger: bool = False,
+                                interpret: bool = False,
+                                recon12: bool = False, bf16: bool = False):
+    """Multi-chip v5 under shard_map over the ("t",) mesh axis: the ONLY
+    comms per application is one ppermute pair of t-faces over ICI (the
+    TPU-native form of the reference's pack/MPI/scatter pipeline,
+    lib/dslash_policy.cuh).  z/w mesh axes must be 1 (the full-Z kernel
+    keeps z-hops in-register); t is the cheapest axis to cut anyway
+    (largest extent, smallest faces in this layout)."""
+    from jax.sharding import PartitionSpec as P
+
+    nt = mesh.shape.get("t", 1)
+    if mesh.shape.get("z", 1) != 1 or mesh.shape.get("w", 1) != 1:
+        raise ValueError("pallas5 shmap path shards only the t axis")
+    T_loc = geom.T // nt
+    if T_loc % 2:
+        raise ValueError("local T extent must be even")
+    geom_local = Geometry(geom.X, geom.Y, geom.Z, T_loc)
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+
+    def local(ud_l, psi_l):
+        psi_ch = _to_channels(psi_l).astype(cdt)
+        g_ch = gauge_channels(ud_l, parity, recon12, bf16)
+        ext = _t_extend(psi_ch, nt)
+        out = dslash_ch_pallas5_local(g_ch, ext, parity, geom_local,
+                                      dagger, interpret, recon12, bf16)
+        return _from_channels(out, (4, 3))
+
+    spec_psi = P(None, None, "t", None, None)
+    spec_g = P(None, None, None, None, None, "t", None, None)
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(spec_g, spec_psi),
+                         out_specs=spec_psi,
+                         check_vma=False)(ud, psi_opp)
 
 
 @partial(jax.jit, static_argnames=("parity", "geom", "dagger",

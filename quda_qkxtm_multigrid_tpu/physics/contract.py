@@ -119,6 +119,23 @@ def momentum_project(c_lex, geom: Geometry, moms, source_coords=(0, 0, 0, 0)):
     return heinsum("...tzyx,mzyx->...tm", c_lex, ph)
 
 
+def momentum_project_dyn(c_lex, geom: Geometry, moms, source):
+    """momentum_project with TRACED source coords: the source shift
+    factorises, e^{-2πi p·(x-x0)/L} = e^{-2πi p·x/L} · e^{+2πi p·x0/L},
+    so the projection uses fixed phases and a per-momentum scalar
+    correction — no recompilation per source position."""
+    base = momentum_project(c_lex, geom, moms, (0, 0, 0, 0))
+    rdt = jnp.real(base).dtype
+    m = jnp.asarray(np.asarray(moms), rdt)
+    x0 = source[0].astype(rdt)
+    y0 = source[1].astype(rdt)
+    z0 = source[2].astype(rdt)
+    phase = jnp.exp(2j * jnp.pi * (m[:, 0] * x0 / geom.X
+                                   + m[:, 1] * y0 / geom.Y
+                                   + m[:, 2] * z0 / geom.Z))
+    return base * phase.astype(base.dtype)
+
+
 def fft_project(c_lex):
     """Full momentum grid via spatial FFT — the analogue of the batched
     CUFFT momentum projection (reference qudaQKXTM_Loops_Kepler.cpp

@@ -43,21 +43,25 @@ def _ape(u, geom, alpha, nsteps):
     return ape_smear(u, geom, alpha, nsteps)
 
 
-@partial(jax.jit, static_argnames=("geom", "spin", "color", "coords",
+@partial(jax.jit, static_argnames=("geom", "spin", "color",
                                    "alpha", "nsmear", "tol", "maxiter"))
 def _solve_column(dirac, u_ape, geom, coords, spin, color, alpha, nsmear,
                   tol, maxiter):
-    b = fields.point_source(geom, coords, spin, color, dtype=dirac.u.dtype)
+    # coords is a TRACED int array: one compiled solve program serves
+    # every source position (the reference's per-source loop reuses its
+    # kernels the same way, interface_quda.cpp:6342)
+    b = fields.point_source_dyn(geom, coords, spin, color,
+                                dtype=dirac.u.dtype)
     b = gaussian_smear(b, u_ape, geom, alpha, nsmear)
     out = invert(dirac, b, tol=tol, maxiter=maxiter)
     return out.x, out.true_res
 
 
-@partial(jax.jit, static_argnames=("geom", "spin", "color", "coords",
+@partial(jax.jit, static_argnames=("geom", "spin", "color",
                                    "alpha", "nsmear", "dtype"))
 def _smeared_point_source(u_ape, geom, coords, spin, color, alpha, nsmear,
                           dtype):
-    b = fields.point_source(geom, coords, spin, color, dtype=dtype)
+    b = fields.point_source_dyn(geom, coords, spin, color, dtype=dtype)
     return gaussian_smear(b, u_ape, geom, alpha, nsmear)
 
 
@@ -106,6 +110,18 @@ def _assemble_prop(cols):
     return jnp.transpose(sols, (2, 3, 0, 4, 1, 5, 6, 7))
 
 
+
+def _auto_pallas(u, geom: Geometry) -> bool:
+    """Enable the fused Pallas operator path automatically when it
+    applies: TPU backend, complex64 fields, and a single-chip volume
+    whose doubled-gauge + clover bundle fits HBM (the reference's
+    analogous decision is the tune-selected kernel path)."""
+    import jax as _jax
+    return (_jax.default_backend() not in ("cpu",)
+            and u.dtype == jnp.complex64
+            and geom.volume <= 2_200_000)
+
+
 def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
              source=(0, 0, 0, 0), q_sq_max: int = 1,
              ape_alpha: float = 0.5, ape_n: int = 20,
@@ -121,12 +137,14 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
     (reference preconditionerUP/DN, interface_quda.cpp:6432/6502) set up
     ONCE for all 24 solves."""
     kind = "twisted-clover" if csw != 0.0 else "twisted-mass"
+    src_arr = jnp.asarray(source, jnp.int32)
     u_ape = _ape(u, geom, ape_alpha, ape_n)
     diracs = {}
     for name, flavor in (("up", +1), ("dn", -1)):
         diracs[name] = make_dirac_jit(
             u, DiracParams(kind=kind, kappa=kappa, mu=mu, csw=csw,
-                           flavor=flavor), geom)
+                           flavor=flavor,
+                           use_pallas=_auto_pallas(u, geom)), geom)
     solve_fns = {"up": None, "dn": None}
     mg_pair = None
     if mg_params is not None:
@@ -137,7 +155,7 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
                      "dn": mg_solve_fn(mg_pair[1], tol=tol)}
     props = {}
     for name, flavor in (("up", +1), ("dn", -1)):
-        p = forward_prop(diracs[name], u_ape, geom, source, gauss_alpha,
+        p = forward_prop(diracs[name], u_ape, geom, src_arr, gauss_alpha,
                          gauss_n, tol, maxiter, verbose,
                          solve_fn=solve_fns[name])
         props[name] = jax.jit(rotate_to_physical,
@@ -145,16 +163,35 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
     moms = con.momentum_list(q_sq_max)
 
     @jax.jit
-    def _contract(pu, pd):
-        mes = con.meson_correlators(pu, pd)
-        bar = con.baryon_correlators(pu, pd)
-        mes_m = con.momentum_project(con.corr_to_lex(mes, geom), geom,
-                                     moms, source)
-        bar_m = con.momentum_project(con.corr_to_lex(bar, geom), geom,
-                                     moms, source)
+    def _contract(pu, pd, src):
+        # contraction is site-local until the momentum projection, so
+        # run it one timeslice at a time (lax.map, sequential): the
+        # 4-open-spin baryon einsum intermediates scale with the mapped
+        # extent, and the full-volume form exhausts HLO temp space at
+        # 16^3x32 on a single chip (the reference reaches the same
+        # structure with per-timeslice contraction kernels,
+        # qudaQKXTM_Kepler_kernels.cu contract kernels)
+        put = jnp.moveaxis(pu, 5, 0)   # [T,2,4,4,3,3,Z,W]
+        pdt = jnp.moveaxis(pd, 5, 0)
+
+        def per_t(args):
+            a, b = args
+            aa = jnp.expand_dims(a, 5)
+            bb = jnp.expand_dims(b, 5)
+            mes = con.meson_correlators(aa, bb)     # [10,2,2,1,Z,W]
+            bar = con.baryon_correlators(aa, bb)    # [10,2,4,4,2,1,Z,W]
+            return mes[..., 0, :, :], bar[..., 0, :, :]
+
+        mes_t, bar_t = jax.lax.map(per_t, (put, pdt))
+        mes = jnp.moveaxis(mes_t, 0, 3)             # [10,2,2,T,Z,W]
+        bar = jnp.moveaxis(bar_t, 0, 5)             # [10,2,4,4,2,T,Z,W]
+        mes_m = con.momentum_project_dyn(con.corr_to_lex(mes, geom),
+                                         geom, moms, src)
+        bar_m = con.momentum_project_dyn(con.corr_to_lex(bar, geom),
+                                         geom, moms, src)
         return mes_m, bar_m
 
-    mes_m, bar_m = _contract(props["up"], props["dn"])
+    mes_m, bar_m = _contract(props["up"], props["dn"], src_arr)
     return {"mesons": mes_m, "baryons": bar_m, "moms": moms,
             "prop_up": props["up"], "prop_dn": props["dn"], "u_ape": u_ape,
             "mg_pair": mg_pair}
@@ -177,6 +214,7 @@ def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
     projected with e^{+ipx} (3pt convention)."""
     kind = "twisted-clover" if csw != 0.0 else "twisted-mass"
     moms = con.momentum_list(q_sq_max)
+    src_arr = jnp.asarray(source, jnp.int32)
 
     @partial(jax.jit, static_argnames=("ts",))
     def _prop3d(prop, u_ape, ts):
@@ -202,13 +240,13 @@ def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
         return gaussian_smear(b, u_ape, geom, gauss_alpha, gauss_n)
 
     @partial(jax.jit, static_argnames=("part",))
-    def _fixsink(seqprop, fwd, u, part):
+    def _fixsink(seqprop, fwd, u, src, part):
         loc = tp.fixsink_local(seqprop, fwd, particle, part)
         noe = tp.fixsink_noether(seqprop, fwd, u, geom, particle, part)
         oneD = tp.fixsink_oneD(seqprop, fwd, u, geom, particle, part)
         def mproj(c):
-            return con.momentum_project(con.corr_to_lex(c, geom), geom,
-                                        -moms, source)
+            return con.momentum_project_dyn(con.corr_to_lex(c, geom),
+                                            geom, -moms, src)
         return mproj(loc), mproj(noe), mproj(oneD)
 
     up3d = _prop3d(prop_up, u_ape, tsink)
@@ -228,13 +266,16 @@ def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
                 cols = [solve(_seq_src_smeared(u_ape, src, q=q, s=s))[0]
                         for q in range(4) for s in range(3)]
             else:
-                d = make_dirac_jit(u, DiracParams(kind=kind, kappa=kappa,
-                                                  mu=mu, csw=csw,
-                                                  flavor=flavor), geom)
+                d = make_dirac_jit(
+                    u, DiracParams(kind=kind, kappa=kappa, mu=mu,
+                                   csw=csw, flavor=flavor,
+                                   use_pallas=_auto_pallas(u, geom)),
+                    geom)
                 cols = [_seq_col(d, u_ape, src, q=q, s=s)
                         for q in range(4) for s in range(3)]
             seqprop = _assemble_prop(cols)
-            loc, noe, oneD = _fixsink(seqprop, prop_up, u, partflag)
+            loc, noe, oneD = _fixsink(seqprop, prop_up, u, src_arr,
+                                      partflag)
             results[proj_name][f"part{partflag}"] = {
                 "ultra_local": loc, "noether": noe, "oneD": oneD}
     return {"thrp": results, "moms": moms}
@@ -252,7 +293,9 @@ def run_loops(u, geom: Geometry, kappa: float, mu: float, csw: float,
 
     kind = "twisted-clover" if csw != 0.0 else "twisted-mass"
     d = make_dirac_jit(u, DiracParams(kind=kind, kappa=kappa, mu=mu,
-                                      csw=csw), geom)
+                                      csw=csw,
+                                      use_pallas=_auto_pallas(u, geom)),
+                       geom)
     plain = lp.plain_wilson_partner(d)
     solve_tol = tol_lp if tol_lp is not None else tol
 
@@ -321,7 +364,9 @@ def run_loops_wexact(u, geom: Geometry, kappa: float, mu: float, csw: float,
 
     kind = "twisted-clover" if csw != 0.0 else "twisted-mass"
     d = make_dirac_jit(u, DiracParams(kind=kind, kappa=kappa, mu=mu,
-                                      csw=csw), geom)
+                                      csw=csw,
+                                      use_pallas=_auto_pallas(u, geom)),
+                       geom)
     plain = lp.plain_wilson_partner(d)
 
     # deflation space of the PC normal operator

@@ -128,6 +128,45 @@ def test_fused_tm_matpc(fields, dagger):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("kind,mu", [("clover", 0.0),
+                                     ("twisted-clover", 0.05)])
+@pytest.mark.parametrize("dagger", [False, True])
+def test_fused_clover_matpc(fields, kind, mu, dagger):
+    """Fused (twisted-)clover matpc — the chiral 6×6 A⁻¹ runs in the
+    kernel epilogue (reference tmc_dslash_def.h fusion) — matches the
+    XLA matpc."""
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
+        _to_channels, _from_channels)
+    from quda_qkxtm_multigrid_tpu.dirac import DiracParams, make_dirac
+    import dataclasses as _dc
+    u, ud, psi = fields
+    d = make_dirac(u.astype(jnp.complex64),
+                   DiracParams(kind=kind, kappa=0.115, mu=mu, csw=1.0),
+                   GEOM)
+    ref = d.matpc(psi[0], dagger=dagger)
+    d_f = _dc.replace(d, u_doubled=ud,
+                      params=_dc.replace(d.params, use_pallas=True))
+    ch = _to_channels(psi[0]).astype(jnp.float32)
+    got = _from_channels(d_f._matpc_clover_ch(ch, dagger, interpret=True),
+                         (4, 3))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("grid", [(2, 1, 1), (4, 1, 1)])
+def test_v5_shmap_matches_xla(fields, grid):
+    """Multi-chip v5 on a virtual CPU mesh: the single ppermute pair of
+    t-faces must reproduce the single-device XLA result."""
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+        dslash_parity_pallas5_shmap)
+    from quda_qkxtm_multigrid_tpu.parallel import make_lattice_mesh
+    u, ud, psi = fields
+    mesh = make_lattice_mesh(grid)
+    ref = dsl.dslash_parity(u, psi[1], 0, GEOM)
+    got = dslash_parity_pallas5_shmap(ud, psi[1], 0, GEOM, mesh,
+                                      interpret=True, recon12=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_v2_bf16_close(fields):
     u, ud, psi = fields
     ref = dsl.dslash_parity(u, psi[1], 0, GEOM)
