@@ -1,0 +1,78 @@
+"""Additive Schwarz domain-decomposition preconditioner.
+
+The analogue of the reference's Schwarz options (reference
+include/quda.h:250 QudaSchwarzType additive/multiplicative with
+``overlap`` width, used for inner-preconditioner solves that skip
+inter-node comms): each mesh shard runs a few smoother iterations of
+its OWN block operator with NO cross-shard communication — on TPU that
+means the preconditioner application is pure shard-local compute with
+zero ICI traffic, exactly the latency shelter the reference buys with
+Dirichlet-cut inner solves.
+
+Block operator: the shard-local Dirac with per-shard periodic wraps
+(the shard_map-local form of the same gather code).  Any fixed local
+approximation is an admissible DD block inverse; flexible (GCR/FGMRES)
+outer solvers absorb its nonlinearity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from quda_qkxtm_multigrid_tpu.lattice import Geometry
+from quda_qkxtm_multigrid_tpu.solvers.mr import mr
+
+
+def _local_geometry(geom: Geometry, mesh) -> Geometry:
+    nt = mesh.shape.get("t", 1)
+    nz = mesh.shape.get("z", 1)
+    nw = mesh.shape.get("w", 1)
+    if geom.T % nt or geom.Z % nz or geom.Y % nw:
+        raise ValueError("mesh does not divide the lattice")
+    return Geometry(geom.X, geom.Y // nw, geom.Z // nz, geom.T // nt)
+
+
+def schwarz_precond(dirac, mesh, niter: int = 4, omega: float = 0.85):
+    """r → approximate blockdiag(M)⁻¹ r by ``niter`` shard-local MR
+    steps (additive Schwarz; zero comms inside the preconditioner).
+
+    Use as the ``precond`` of a flexible outer solver (gcr) running on
+    the mesh-sharded full operator."""
+    geom_local = _local_geometry(dirac.geom, mesh)
+    params = dataclasses.replace(dirac.params, use_pallas=False)
+
+    spec_r = P(None, None, None, "t", "z", "w")
+    spec_u = P(None, None, None, None, "t", "z", "w")
+    spec_c = P(None, None, None, None, "t", "z", "w")
+
+    has_clover = dirac.clover is not None
+
+    def local(r_l, u_l, clov_l, clov_inv_l):
+        from quda_qkxtm_multigrid_tpu.dirac import Dirac
+        d_l = Dirac(u=u_l, params=params, geom=geom_local,
+                    clover=clov_l, clover_inv=clov_inv_l)
+        return mr(d_l.m, r_l, niter=niter, omega=omega)
+
+    if has_clover:
+        def k(r):
+            return jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(spec_r, spec_u, spec_c, spec_c),
+                out_specs=spec_r, check_vma=False)(
+                    r, dirac.u, dirac.clover, dirac.clover_inv)
+    else:
+        def local_nc(r_l, u_l):
+            return local(r_l, u_l, None, None)
+
+        def k(r):
+            return jax.shard_map(
+                local_nc, mesh=mesh,
+                in_specs=(spec_r, spec_u),
+                out_specs=spec_r, check_vma=False)(r, dirac.u)
+
+    return k
