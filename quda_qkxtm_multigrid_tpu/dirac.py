@@ -198,6 +198,48 @@ class Dirac:
             return self._matpc_clover_ch(psi_ch, dagger, interpret)
         return self._matpc_tm_ch(psi_ch, dagger, interpret)
 
+    def _fused_matpc_ch_msrc(self, psi_ch_b, dagger: bool,
+                             interpret: bool = False):
+        """Multi-RHS fused matpc on [n_src, T, 24, Z, W]: the gauge and
+        clover operands are fetched once per t and revisited across the
+        source axis (dslash_ch_pallas5_msrc) — the MRHS amortisation of
+        SURVEY.md §2.10.4."""
+        from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+            dslash_ch_pallas5_msrc as v5m, gauge_channels, clover_channels)
+        p = self.params
+        pr, k = p.matpc_parity, p.kappa
+        bf = p.pallas_bf16
+        kw = dict(recon12=True, bf16=bf, interpret=interpret)
+        g_p = gauge_channels(self.u_doubled, pr, True, bf)
+        g_o = gauge_channels(self.u_doubled, 1 - pr, True, bf)
+        if p.has_clover:
+            ci_p = clover_channels(self.clover_inv, pr, bf)
+            ci_o = clover_channels(self.clover_inv, 1 - pr, bf)
+            if not dagger:
+                t = v5m(g_o, psi_ch_b, 1 - pr, self.geom, clover="fwd",
+                        cinv_ch=ci_o, **kw)
+                return v5m(g_p, t, pr, self.geom, clover="fwd",
+                           cinv_ch=ci_p, xpay_coef=-(k * k),
+                           x_ch_b=psi_ch_b, **kw)
+            t = jax.vmap(lambda v: _ch_clover_apply(v, ci_p, dag=True))(
+                psi_ch_b)
+            t = v5m(g_o, t, 1 - pr, self.geom, dagger=True, clover="dag",
+                    cinv_ch=ci_o, **kw)
+            return v5m(g_p, t, pr, self.geom, dagger=True,
+                       xpay_coef=-(k * k), x_ch_b=psi_ch_b, **kw)
+        a = 2.0 * p.kappa * p.mu * p.flavor
+        if dagger:
+            a = -a
+        tw = (-a, 1.0 / (1.0 + a * a))
+        if not dagger:
+            t = v5m(g_o, psi_ch_b, 1 - pr, self.geom, twist=tw, **kw)
+            return v5m(g_p, t, pr, self.geom, twist=tw,
+                       xpay_coef=-(k * k), x_ch_b=psi_ch_b, **kw)
+        t = jax.vmap(lambda v: _ch_twist(v, tw[0], tw[1]))(psi_ch_b)
+        t = v5m(g_o, t, 1 - pr, self.geom, dagger=True, twist=tw, **kw)
+        return v5m(g_p, t, pr, self.geom, dagger=True,
+                   xpay_coef=-(k * k), x_ch_b=psi_ch_b, **kw)
+
     def _matpc_pallas_tm(self, psi_p, dagger: bool):
         from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
             _to_channels, _from_channels)

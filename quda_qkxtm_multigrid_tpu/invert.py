@@ -74,6 +74,41 @@ def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
     return InvertResult(x, res.iters, true_res)
 
 
+def invert_msrc(dirac: Dirac, bs, tol: float = 1e-10,
+                maxiter: int = 1000) -> InvertResult:
+    """Multi-RHS solve of M x_i = b_i, bs [n_src, 2, 4, 3, T, Z, W] —
+    the analogue of invertMultiSrcQuda (reference
+    interface_quda.cpp:2546).  On the fused Pallas path the batched CG
+    amortises the gauge/clover operand traffic across the sources
+    (dslash_ch_pallas5_msrc); otherwise the matvec is a vmap."""
+    from quda_qkxtm_multigrid_tpu.solvers.msrc import msrc_cg
+
+    src = jax.vmap(dirac.prepare)(bs)
+    rhs = jax.vmap(lambda s: dirac.matpc(s, dagger=True))(src)
+
+    if _fused_tm(dirac):
+        from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
+            _to_channels, _from_channels)
+
+        def matvec_b(v_ch_b):
+            return dirac._fused_matpc_ch_msrc(
+                dirac._fused_matpc_ch_msrc(v_ch_b, False), True)
+
+        rhs_ch = jax.vmap(_to_channels)(rhs).astype(jnp.float32)
+        res = msrc_cg(matvec_b, rhs_ch, tol=tol, maxiter=maxiter)
+        x_p = jax.vmap(lambda v: _from_channels(v, (4, 3)))(
+            res.x).astype(rhs.dtype)
+    else:
+        res = msrc_cg(jax.vmap(dirac.matpc_dagm), rhs, tol=tol,
+                      maxiter=maxiter)
+        x_p = res.x
+    x = jax.vmap(dirac.reconstruct)(x_p, bs)
+    r = bs - jax.vmap(dirac.m)(x)
+    true_res = jnp.sqrt(
+        jnp.real(jnp.vdot(r, r)) / jnp.real(jnp.vdot(bs, bs)))
+    return InvertResult(x, res.iters, true_res)
+
+
 @jax.jit
 def true_residual(dirac: Dirac, x, b):
     """(r, |r|/|b|) of the full operator in ONE safe jit program.

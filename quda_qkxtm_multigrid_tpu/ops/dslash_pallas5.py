@@ -336,6 +336,58 @@ def dslash_ch_pallas5_local(g_ch, psi_ext_ch, parity: int,
     )(*ins)
 
 
+def dslash_ch_pallas5_msrc(g_ch, psi_ch_b, parity: int, geom: Geometry,
+                           dagger: bool = False, interpret: bool = False,
+                           recon12: bool = False, bf16: bool = False,
+                           twist: tuple | None = None,
+                           xpay_coef: float | None = None, x_ch_b=None,
+                           clover: str | None = None, cinv_ch=None):
+    """Multi-RHS v5: psi_ch_b [n_src, T, 24, Z, W] (flattened to
+    [n_src*T, ...] internally), grid (T, n_src) with the SOURCE axis
+    innermost so the gauge (and clover) block for a given t is fetched
+    ONCE and revisited across all sources — the gauge bytes amortise
+    by n_src, which roughly doubles (tm) to triples (tmc) the
+    bandwidth-bound throughput per solve (the MRHS idea of the
+    batched-RHS literature and SURVEY.md §2.10.4's batchable axis).
+    """
+    n = psi_ch_b.shape[0]
+    T, Z, W = geom.T, geom.Z, geom.W
+    ng = 96 if recon12 else 144
+    psi_flat = psi_ch_b.reshape(n * T, 24, Z, W)
+
+    kernel = _kernel_v5(geom, dagger, parity, recon12, bf16, twist,
+                        xpay_coef, clover)
+    pspec = lambda im: pl.BlockSpec((1, 24, Z, W), im,
+                                    memory_space=pltpu.VMEM)
+    ins = [psi_flat, psi_flat, psi_flat, g_ch]
+    in_specs = [pspec(lambda i, s: (s * T + i, 0, 0, 0)),
+                pspec(lambda i, s: (s * T + (i + 1) % T, 0, 0, 0)),
+                pspec(lambda i, s: (s * T + (i - 1) % T, 0, 0, 0)),
+                pl.BlockSpec((1, ng, Z, W), lambda i, s: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if clover is not None:
+        ins.append(cinv_ch)
+        in_specs.append(pl.BlockSpec((1, 144, Z, W),
+                                     lambda i, s: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    if xpay_coef is not None:
+        ins.append(x_ch_b.reshape(n * T, 24, Z, W))
+        in_specs.append(pspec(lambda i, s: (s * T + i, 0, 0, 0)))
+    out = pl.pallas_call(
+        kernel,
+        grid=(T, n),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 24, Z, W),
+                               lambda i, s: (s * T + i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * T, 24, Z, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(*ins)
+    return out.reshape(n, T, 24, Z, W)
+
+
 def _t_extend(psi_ch, nt: int):
     """Attach t-halo rows by ppermute over the "t" mesh axis (inside
     shard_map): [T_loc, ...] → [T_loc+2, ...]."""

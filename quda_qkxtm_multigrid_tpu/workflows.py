@@ -81,13 +81,39 @@ def mg_solve_fn(mg, tol: float = 1e-8, n_krylov: int = 10,
     return solve
 
 
+@partial(jax.jit, static_argnames=("geom", "alpha", "nsmear", "tol",
+                                   "maxiter"))
+def _solve_columns_msrc(dirac, u_ape, geom, coords, alpha, nsmear, tol,
+                        maxiter):
+    """All 12 spin-color columns as ONE multi-RHS solve — the fused
+    Pallas path amortises the gauge/clover traffic across the batch
+    (invert_msrc / dslash_ch_pallas5_msrc; SURVEY.md §2.10.4)."""
+    from quda_qkxtm_multigrid_tpu.invert import invert_msrc
+    bs = jnp.stack([
+        gaussian_smear(
+            fields.point_source_dyn(geom, coords, s, c,
+                                    dtype=dirac.u.dtype),
+            u_ape, geom, alpha, nsmear)
+        for s in range(4) for c in range(3)])
+    out = invert_msrc(dirac, bs, tol=tol, maxiter=maxiter)
+    return out.x, out.true_res
+
+
 def forward_prop(dirac, u_ape, geom, coords, alpha=4.0, nsmear=50,
                  tol=1e-8, maxiter=1000, verbose=False, solve_fn=None):
     """12 smeared-source solves → canonical propagator
     [2,4,4,3,3,T,Z,W] (the per-column loop of interface_quda.cpp:6342).
 
     solve_fn: optional b → (x, true_res) override (e.g. mg_solve_fn);
-    default is the even-odd preconditioned CG of invert()."""
+    default is the even-odd preconditioned CG of invert() — batched
+    into one multi-RHS solve on the fused Pallas path."""
+    if solve_fn is None and getattr(dirac, "_has_fused_matpc", False):
+        xs, res = _solve_columns_msrc(dirac, u_ape, geom,
+                                      jnp.asarray(coords, jnp.int32),
+                                      alpha, nsmear, tol, maxiter)
+        if verbose:
+            print(f"  12-column msrc solve: true_res={float(res):.2e}")
+        return _assemble_prop([xs[i] for i in range(12)])
     cols = []
     for spin in range(4):
         for color in range(3):
