@@ -208,7 +208,8 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
             bar = con.baryon_correlators(aa, bb)    # [10,2,4,4,2,1,Z,W]
             return mes[..., 0, :, :], bar[..., 0, :, :]
 
-        mes_t, bar_t = jax.lax.map(per_t, (put, pdt))
+        mes_t, bar_t = jax.lax.map(per_t, (put, pdt),
+                                   batch_size=min(4, geom.T))
         mes = jnp.moveaxis(mes_t, 0, 3)             # [10,2,2,T,Z,W]
         bar = jnp.moveaxis(bar_t, 0, 5)             # [10,2,4,4,2,T,Z,W]
         mes_m = con.momentum_project_dyn(con.corr_to_lex(mes, geom),
