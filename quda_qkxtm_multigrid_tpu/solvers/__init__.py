@@ -9,3 +9,4 @@ from quda_qkxtm_multigrid_tpu.solvers.gmresdr import gmresdr, GMResDRResult
 from quda_qkxtm_multigrid_tpu.solvers.mre import min_res_ext, ChronoHistory
 from quda_qkxtm_multigrid_tpu.solvers.pipelined import pipelined_cg, pipelined_cg_reliable
 from quda_qkxtm_multigrid_tpu.solvers.inc_eigcg import IncEigCG
+from quda_qkxtm_multigrid_tpu.solvers.sd import sd

@@ -15,3 +15,19 @@ import jax  # noqa: E402
 # over the env var, so also set the config knob explicitly.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound in-process compilation-cache growth: a full-suite run
+    accumulates ~200 compiled executables in one process and the XLA
+    CPU client has been observed to segfault in backend_compile_and_load
+    near the end of hour-long single-process runs; clearing between
+    modules keeps the client state small (tests re-jit per module
+    anyway)."""
+    yield
+    import jax
+    jax.clear_caches()

@@ -104,6 +104,16 @@ class TestMinResExt:
         assert float(jnp.sum(jnp.abs(x0))) == 0.0
 
 
+class TestSD:
+    def test_reduces_residual(self):
+        from quda_qkxtm_multigrid_tpu.solvers.sd import sd
+        d = _dirac(17, kind="wilson", kappa=0.11)
+        b = rng.random_spinor(jax.random.PRNGKey(18), GEOM)[0]
+        rhs = d.matpc(b, dagger=True)
+        res = sd(d.matpc_dagm, rhs, tol=1e-10, maxiter=50)
+        assert _relres(d.matpc_dagm, res.x, rhs) < 0.5
+
+
 class TestPipelinedCG:
     def test_matches_cg(self):
         d = _dirac(13, kind="twisted-clover", kappa=0.115, mu=0.05,
