@@ -280,7 +280,11 @@ def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
     dn3d = _prop3d(prop_dn, u_ape, tsink)
     results = {}
     for proj_name in projectors:
-        proj = jnp.asarray(tp.projector(proj_name, particle), prop_up.dtype)
+        # numpy-side dtype conversion FIRST: jnp.asarray(c128_numpy, c64)
+        # routes an eager complex128 transfer to the device, which the
+        # TPU backend rejects (surfacing lazily at the next dispatch)
+        proj = jnp.asarray(np.asarray(tp.projector(proj_name, particle))
+                           .astype(np.dtype(prop_up.dtype)))
         results[proj_name] = {}
         for partflag in (1, 2):
             src = _seqsrc(up3d, dn3d, proj, partflag, tsink)
