@@ -104,9 +104,13 @@ def invert_msrc(dirac: Dirac, bs, tol: float = 1e-10,
         x_p = res.x
     x = jax.vmap(dirac.reconstruct)(x_p, bs)
     r = bs - jax.vmap(dirac.m)(x)
-    true_res = jnp.sqrt(
-        jnp.real(jnp.vdot(r, r)) / jnp.real(jnp.vdot(bs, bs)))
-    return InvertResult(x, res.iters, true_res)
+    # Per-source relative residuals (reference invertMultiSrcQuda
+    # reports per-source true_res); report the WORST column so a badly
+    # converged source cannot hide inside the batch norm.
+    axes = tuple(range(1, r.ndim))
+    per_src = jnp.sqrt(jnp.sum(jnp.abs(r) ** 2, axis=axes)
+                       / jnp.sum(jnp.abs(bs) ** 2, axis=axes))
+    return InvertResult(x, res.iters, jnp.max(per_src))
 
 
 @jax.jit

@@ -268,6 +268,17 @@ def dslash_parity_pallas4(ud, psi_opp, parity: int, geom: Geometry,
     Requires T % 4 == 0 and T >= 4 (slot arithmetic); falls back to the
     caller to pick v2 otherwise."""
     T, Z, W = geom.T, geom.Z, geom.W
+    if not interpret:
+        # The ring buffer uses traced-destination DMA slots
+        # (slab.at[slot]) and DMAs under multiple pl.when branches —
+        # both documented to HANG the axon TPU backend (see module
+        # docstring / .claude/skills/verify/SKILL.md).  Refuse to lower
+        # on hardware until the backend fix lands; the kernel remains
+        # runnable (and tested) in interpret mode.
+        raise NotImplementedError(
+            "dslash_parity_pallas4 hangs on the TPU backend "
+            "(traced-destination/conditional DMA); use interpret=True "
+            "for semantics, or dslash_parity_pallas5 in production")
     if T % 4 or T < 4:
         raise ValueError("v4 kernel requires T % 4 == 0 and T >= 4")
     if not interpret and W % 128:

@@ -143,7 +143,9 @@ def _auto_pallas(u, geom: Geometry) -> bool:
     whose doubled-gauge + clover bundle fits HBM (the reference's
     analogous decision is the tune-selected kernel path)."""
     import jax as _jax
-    return (_jax.default_backend() not in ("cpu",)
+    # 'tpu' only: on any other accelerator the pltpu (Mosaic) kernels
+    # would fail to lower — those backends take the XLA path.
+    return (_jax.default_backend() == "tpu"
             and u.dtype == jnp.complex64
             and geom.volume <= 2_200_000)
 

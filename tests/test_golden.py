@@ -47,9 +47,14 @@ def results():
 
 
 def _check(results, key):
-    if REGEN or not os.path.exists(GOLDEN):
+    if REGEN:
         np.savez(GOLDEN, **results)
-        pytest.skip("golden file (re)generated")
+        pytest.skip("golden file regenerated (QKXTM_REGEN_GOLDEN=1)")
+    if not os.path.exists(GOLDEN):
+        pytest.fail(
+            f"golden file {GOLDEN} is missing — the regression tripwire "
+            "cannot run.  Restore it from git, or regenerate DELIBERATELY "
+            "with QKXTM_REGEN_GOLDEN=1 after verifying the physics.")
     ref = np.load(GOLDEN)
     np.testing.assert_allclose(results[key], ref[key], rtol=1e-6,
                                atol=1e-10)

@@ -175,3 +175,36 @@ def test_v2_bf16_close(fields):
     rel = float(jnp.linalg.norm((got - ref).ravel())
                 / jnp.linalg.norm(ref.ravel()))
     assert rel < 0.03, rel     # bf16 has ~3 decimal digits
+
+
+@pytest.mark.parametrize("kind,mu", [("twisted-mass", 0.05),
+                                     ("twisted-clover", 0.05)])
+@pytest.mark.parametrize("dagger", [False, True])
+def test_msrc_matches_vmap_single(fields, kind, mu, dagger):
+    """The multi-RHS fused matpc (dslash_ch_pallas5_msrc grid/index_map,
+    source axis innermost) must equal a vmap of the single-RHS fused
+    matpc column by column — this is the kernel forward_prop routes all
+    production TPU propagator solves through (invertMultiSrcQuda parity,
+    reference interface_quda.cpp:2546)."""
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
+        _to_channels, _from_channels)
+    from quda_qkxtm_multigrid_tpu.dirac import DiracParams, make_dirac
+    from quda_qkxtm_multigrid_tpu.utils import rng as _rng
+    import dataclasses as _dc
+    u, ud, psi = fields
+    d = make_dirac(u.astype(jnp.complex64),
+                   DiracParams(kind=kind, kappa=0.115, mu=mu,
+                               csw=1.0 if kind == "twisted-clover" else 0.0),
+                   GEOM)
+    d_f = _dc.replace(d, u_doubled=ud,
+                      params=_dc.replace(d.params, use_pallas=True))
+    n_src = 3
+    keys = jax.random.split(jax.random.PRNGKey(7), n_src)
+    cols = jnp.stack([
+        _to_channels(_rng.random_spinor(k, GEOM, dtype=jnp.complex64)[0])
+        for k in keys]).astype(jnp.float32)          # [n_src, T, 24, Z, W]
+    got = d_f._fused_matpc_ch_msrc(cols, dagger, interpret=True)
+    ref = jnp.stack([d_f._fused_matpc_ch(cols[i], dagger, interpret=True)
+                     for i in range(n_src)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)
