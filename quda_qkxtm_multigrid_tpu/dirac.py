@@ -145,7 +145,7 @@ class Dirac:
         the whole chain stays in planar-channel layout — zero standalone
         elementwise or layout-conversion passes."""
         from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
-            dslash_ch_pallas5 as v5ch, gauge_channels)
+            dslash_ch_auto as v5ch, gauge_channels)
         p = self.params
         pr, k = p.matpc_parity, p.kappa
         a = 2.0 * p.kappa * p.mu * p.flavor
@@ -172,7 +172,7 @@ class Dirac:
         role of the reference's fused tmc_dslash kernels,
         lib/dslash_core/tmc_dslash_def.h)."""
         from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
-            dslash_ch_pallas5 as v5ch, gauge_channels, clover_channels)
+            dslash_ch_auto as v5ch, gauge_channels, clover_channels)
         p = self.params
         pr, k = p.matpc_parity, p.kappa
         bf = p.pallas_bf16

@@ -27,11 +27,16 @@ from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
 from quda_qkxtm_multigrid_tpu.ops.dslash_pallas2 import _proj_rank2
 
 
-def _kernel_v5(geom: Geometry, dagger: bool, parity: int,
-               recon12: bool, bf16: bool,
-               twist: tuple | None = None, xpay_coef: float | None = None,
-               clover: str | None = None):
-    """twist = (a, b): apply b·(1 + i a γ5) to the hop result IN the
+def _plane_body(geom: Geometry, dagger: bool, parity: int,
+                recon12: bool, bf16: bool, twist, xpay_coef, clover,
+                t_idx, ld_c, ld_tp, ld_tm, ld_g, ld_cinv, ld_x, store,
+                recon8: bool = False):
+    """One output t-plane of the fused Wilson-type stencil, abstracted
+    over HOW channel planes are loaded/stored so both the per-plane (v5)
+    and slab-blocked grids share one body.  ld_* : channel-index →
+    (Z, W) f32 array; store(ch, value) writes the output channel.
+
+    twist = (a, b): apply b·(1 + i a γ5) to the hop result IN the
     kernel epilogue — the fused twist/A⁻¹ of the twisted-mass matpc
     (the role of the reference's fused tm_dslash_def.h kernels,
     reference lib/dslash_core/tm_dslash_def.h:633) at zero extra HBM
@@ -43,8 +48,225 @@ def _kernel_v5(geom: Geometry, dagger: bool, parity: int,
     kernels (lib/dslash_core/tmc_dslash_def.h:726); "dag" applies the
     conjugate transpose.  Mutually exclusive with twist."""
     assert not (twist is not None and clover is not None)
-    Xh, W, Z, T = geom.Xh, geom.W, geom.Z, geom.T
+    Xh, W, Z = geom.Xh, geom.W, geom.Z
     zb = Z
+    zloc = jax.lax.broadcasted_iota(jnp.int32, (zb, W), 0)
+    wlane = jax.lax.broadcasted_iota(jnp.int32, (zb, W), 1)
+    y = wlane // Xh
+    k = wlane - y * Xh
+    s0 = ((t_idx + zloc + y + parity) % 2) == 0
+    k_last = k == Xh - 1
+    k_first = k == 0
+
+    def psi(ld, s, c, ri):
+        return ld((s * 3 + c) * 2 + ri)
+
+    nrows = 2 if recon12 else 3
+    _row2_cache = {}
+
+    def _gauge_row2(d, fb):
+        key = (d, fb)
+        if key not in _row2_cache:
+            def g2(a, b, ri):
+                return ld_g((((d * 2 + fb) * nrows + a) * 3 + b) * 2 + ri)
+            row = []
+            for c in range(3):
+                b1, b2 = (c + 1) % 3, (c + 2) % 3
+                ar, ai = g2(0, b1, 0), g2(0, b1, 1)
+                br, bi = g2(1, b2, 0), g2(1, b2, 1)
+                cr_, ci_ = g2(0, b2, 0), g2(0, b2, 1)
+                dr, di = g2(1, b1, 0), g2(1, b1, 1)
+                re = (ar * br - ai * bi) - (cr_ * dr - ci_ * di)
+                im = (ar * bi + ai * br) - (cr_ * di + ci_ * dr)
+                row.append((re, -im))
+            _row2_cache[key] = row
+        return _row2_cache[key]
+
+    _mat8_cache = {}
+
+    def _mat8(d, fb):
+        """Reconstruct the full SU(3) link from the 8-real encoding
+        [Re/Im a2, Re/Im a3, Re/Im b1, arg(a1), arg(c1)] (the
+        reconstruct-8 of reference include/enum_quda.h:55-62; closed
+        form from row-0/column-0 unitarity, verified to 5e-16 against
+        random SU(3) in tests).  ~50 extra VPU flops per link — free on
+        the DMA-rate-bound kernel, and saves 128 B/site of gauge
+        traffic vs recon-12."""
+        key = (d, fb)
+        if key in _mat8_cache:
+            return _mat8_cache[key]
+        base = (d * 2 + fb) * 8
+        a2r, a2i, a3r, a3i, b1r, b1i, th1, th2 = (
+            ld_g(base + j) for j in range(8))
+        n = a2r * a2r + a2i * a2i + a3r * a3r + a3i * a3i
+        a1m2 = jnp.maximum(1.0 - n, 0.0)
+        a1m = jnp.sqrt(a1m2)
+        c1m = jnp.sqrt(jnp.maximum(
+            1.0 - a1m2 - (b1r * b1r + b1i * b1i), 0.0))
+        a1r = a1m * jnp.cos(th1)
+        a1i = a1m * jnp.sin(th1)
+        c1r = c1m * jnp.cos(th2)
+        c1i = c1m * jnp.sin(th2)
+        rn = 1.0 / n
+        # t = conj(a1) * b1
+        tr_ = a1r * b1r + a1i * b1i
+        ti_ = a1r * b1i - a1i * b1r
+        # b2 = -(t a2 + conj(a3) conj(c1)) / n
+        b2r = -(tr_ * a2r - ti_ * a2i + (a3r * c1r - a3i * c1i)) * rn
+        b2i = -(tr_ * a2i + ti_ * a2r - (a3r * c1i + a3i * c1r)) * rn
+        # b3 = -(t a3 - conj(a2) conj(c1)) / n
+        b3r = -(tr_ * a3r - ti_ * a3i - (a2r * c1r - a2i * c1i)) * rn
+        b3i = -(tr_ * a3i + ti_ * a3r + (a2r * c1i + a2i * c1r)) * rn
+        # c2 = conj(a3 b1 - a1 b3), c3 = conj(a1 b2 - a2 b1)
+        c2r = (a3r * b1r - a3i * b1i) - (a1r * b3r - a1i * b3i)
+        c2i = -((a3r * b1i + a3i * b1r) - (a1r * b3i + a1i * b3r))
+        c3r = (a1r * b2r - a1i * b2i) - (a2r * b1r - a2i * b1i)
+        c3i = -((a1r * b2i + a1i * b2r) - (a2r * b1i + a2i * b1r))
+        mat = [[(a1r, a1i), (a2r, a2i), (a3r, a3i)],
+               [(b1r, b1i), (b2r, b2i), (b3r, b3i)],
+               [(c1r, c1i), (c2r, c2i), (c3r, c3i)]]
+        _mat8_cache[key] = mat
+        return mat
+
+    def gauge(d, fb, a, b, ri):
+        if recon8:
+            return _mat8(d, fb)[a][b][ri]
+        if recon12 and a == 2:
+            return _gauge_row2(d, fb)[b][ri]
+        return ld_g((((d * 2 + fb) * nrows + a) * 3 + b) * 2 + ri)
+
+    def shift_y(v, forward):
+        return pltpu.roll(v, (W - Xh) if forward else Xh, axis=1)
+
+    def shift_x(v, forward):
+        if forward:
+            wrap = pltpu.roll(v, Xh - 1, axis=1)
+            near = pltpu.roll(v, W - 1, axis=1)
+            odd = jnp.where(k_last, wrap, near)
+            return jnp.where(s0, v, odd)
+        else:
+            wrap = pltpu.roll(v, W - (Xh - 1), axis=1)
+            near = pltpu.roll(v, 1, axis=1)
+            even = jnp.where(k_first, wrap, near)
+            return jnp.where(s0, even, v)
+
+    def neighbor(mu, forward, s, c, ri):
+        ch = (s, c, ri)
+        if mu == 3:
+            return psi(ld_tp if forward else ld_tm, *ch)
+        v = psi(ld_c, *ch)
+        if mu == 2:
+            # full-Z block: z±1 is a sublane roll, wrap included
+            return pltpu.roll(v, Z - 1 if forward else 1, axis=0)
+        return shift_y(v, forward) if mu == 1 else shift_x(v, forward)
+
+    def cmul_const(cr, ci, vr, vi):
+        if ci == 0.0:
+            if cr == 1.0:
+                return vr, vi
+            if cr == -1.0:
+                return -vr, -vi
+            return cr * vr, cr * vi
+        if cr == 0.0:
+            if ci == 1.0:
+                return -vi, vr
+            if ci == -1.0:
+                return vi, -vr
+            return -ci * vi, ci * vr
+        return cr * vr - ci * vi, cr * vi + ci * vr
+
+    acc = [[None, None] for _ in range(12)]
+    for mu in range(4):
+        for fb, (fwd, plus) in enumerate(((True, dagger),
+                                          (False, not dagger))):
+            upper, recon = _proj_rank2(mu, plus)
+            nb = [[(neighbor(mu, fwd, tt, c, 0),
+                    neighbor(mu, fwd, tt, c, 1))
+                   for c in range(3)] for tt in range(4)]
+            h = [[None, None, None] for _ in range(2)]
+            for s in (0, 1):
+                for (tt, coef) in upper[s]:
+                    for c in range(3):
+                        term = cmul_const(coef.real, coef.imag,
+                                          *nb[tt][c])
+                        cur = h[s][c]
+                        h[s][c] = term if cur is None else (
+                            cur[0] + term[0], cur[1] + term[1])
+            uh = [[None, None, None] for _ in range(2)]
+            for s in (0, 1):
+                for a in range(3):
+                    tr = ti = None
+                    for b in range(3):
+                        if fb == 0:
+                            ur = gauge(mu, 0, a, b, 0)
+                            ui = gauge(mu, 0, a, b, 1)
+                        else:
+                            ur = gauge(mu, 1, b, a, 0)
+                            ui = -gauge(mu, 1, b, a, 1)
+                        vr, vi = h[s][b]
+                        pr = ur * vr - ui * vi
+                        pi = ur * vi + ui * vr
+                        tr = pr if tr is None else tr + pr
+                        ti = pi if ti is None else ti + pi
+                    uh[s][a] = (tr, ti)
+            for s in range(4):
+                if s < 2:
+                    src_row, coef = s, 1.0 + 0j
+                else:
+                    src_row, coef = recon[s - 2]
+                for a in range(3):
+                    vr, vi = uh[src_row][a]
+                    tr, ti = cmul_const(coef.real, coef.imag, vr, vi)
+                    kk = s * 3 + a
+                    if acc[kk][0] is None:
+                        acc[kk] = [tr, ti]
+                    else:
+                        acc[kk][0] = acc[kk][0] + tr
+                        acc[kk][1] = acc[kk][1] + ti
+
+    res = [[acc[kk][0], acc[kk][1]] for kk in range(12)]
+    if clover is not None:
+        # chiral 6x6 complex matvec on the hop result; channel
+        # idx(h, r, c, ri) = ((h*6+r)*6+c)*2+ri; spin-color kk maps
+        # to (h = kk//6, r = kk%6)
+        def cm(h, r, c, ri):
+            return ld_cinv(((h * 6 + r) * 6 + c) * 2 + ri)
+
+        new = []
+        for kk in range(12):
+            h, r = kk // 6, kk % 6
+            tr = ti = None
+            for c in range(6):
+                vr, vi = res[h * 6 + c]
+                if clover == "fwd":
+                    mr, mi = cm(h, r, c, 0), cm(h, r, c, 1)
+                else:                      # dag: conj transpose
+                    mr, mi = cm(h, c, r, 0), -cm(h, c, r, 1)
+                pr_ = mr * vr - mi * vi
+                pi_ = mr * vi + mi * vr
+                tr = pr_ if tr is None else tr + pr_
+                ti = pi_ if ti is None else ti + pi_
+            new.append([tr, ti])
+        res = new
+    for kk in range(12):
+        re, im = res[kk]
+        if twist is not None:
+            a, b = twist
+            g5s = 1.0 if kk < 6 else -1.0   # spins 0,1 vs 2,3
+            re, im = b * (re - (a * g5s) * im), b * (im + (a * g5s) * re)
+        if xpay_coef is not None:
+            re = ld_x(2 * kk) + xpay_coef * re
+            im = ld_x(2 * kk + 1) + xpay_coef * im
+        store(2 * kk, re)
+        store(2 * kk + 1, im)
+
+
+def _kernel_v5(geom: Geometry, dagger: bool, parity: int,
+               recon12: bool, bf16: bool,
+               twist: tuple | None = None, xpay_coef: float | None = None,
+               clover: str | None = None, recon8: bool = False):
+    """Per-t-plane grid: one output plane per step, t± neighbours as
+    separate plane operands (see _plane_body for the epilogue zoo)."""
 
     def kernel(*refs):
         refs = list(refs)
@@ -59,173 +281,72 @@ def _kernel_v5(geom: Geometry, dagger: bool, parity: int,
             x_ref = refs[pos]
             pos += 1
         out_ref = refs[pos]
-        t_idx = pl.program_id(0)
-        zloc = jax.lax.broadcasted_iota(jnp.int32, (zb, W), 0)
-        wlane = jax.lax.broadcasted_iota(jnp.int32, (zb, W), 1)
-        y = wlane // Xh
-        k = wlane - y * Xh
-        s0 = ((t_idx + zloc + y + parity) % 2) == 0
-        k_last = k == Xh - 1
-        k_first = k == 0
 
-        def _ld(ref, idx):
-            v = ref[0, idx]
-            return v.astype(jnp.float32) if bf16 else v
+        def _mk(ref):
+            if ref is None:
+                return None
+            if bf16:
+                return lambda idx: ref[0, idx].astype(jnp.float32)
+            return lambda idx: ref[0, idx]
 
-        def psi(ref, s, c, ri):
-            return _ld(ref, (s * 3 + c) * 2 + ri)
+        def store(idx, val):
+            out_ref[0, idx] = val
 
-        nrows = 2 if recon12 else 3
-        _row2_cache = {}
+        _plane_body(geom, dagger, parity, recon12, bf16, twist, xpay_coef,
+                    clover, pl.program_id(0), _mk(psi_c), _mk(psi_tp),
+                    _mk(psi_tm), _mk(g_ref), _mk(cinv_ref),
+                    (lambda idx: x_ref[0, idx].astype(jnp.float32))
+                    if x_ref is not None else None, store, recon8=recon8)
 
-        def _gauge_row2(d, fb):
-            key = (d, fb)
-            if key not in _row2_cache:
-                def g2(a, b, ri):
-                    return _ld(g_ref,
-                               (((d * 2 + fb) * nrows + a) * 3 + b) * 2 + ri)
-                row = []
-                for c in range(3):
-                    b1, b2 = (c + 1) % 3, (c + 2) % 3
-                    ar, ai = g2(0, b1, 0), g2(0, b1, 1)
-                    br, bi = g2(1, b2, 0), g2(1, b2, 1)
-                    cr_, ci_ = g2(0, b2, 0), g2(0, b2, 1)
-                    dr, di = g2(1, b1, 0), g2(1, b1, 1)
-                    re = (ar * br - ai * bi) - (cr_ * dr - ci_ * di)
-                    im = (ar * bi + ai * br) - (cr_ * di + ci_ * dr)
-                    row.append((re, -im))
-                _row2_cache[key] = row
-            return _row2_cache[key]
+    return kernel
 
-        def gauge(d, fb, a, b, ri):
-            if recon12 and a == 2:
-                return _gauge_row2(d, fb)[b][ri]
-            return _ld(g_ref, (((d * 2 + fb) * nrows + a) * 3 + b) * 2 + ri)
 
-        def shift_y(v, forward):
-            return pltpu.roll(v, (W - Xh) if forward else Xh, axis=1)
+def _kernel_slab(geom: Geometry, dagger: bool, parity: int,
+                 recon12: bool, bf16: bool, tb: int,
+                 twist: tuple | None = None, xpay_coef: float | None = None,
+                 clover: str | None = None, recon8: bool = False):
+    """Slab grid: each step computes tb output planes from a
+    (tb, ch, Z, W) slab plus ONE halo plane on each t side.  Interior
+    t-hops stay inside the slab, so psi center traffic drops from 3
+    fetches per plane (v5) to (tb+2)/tb — the BlockSpec-only form of the
+    t-slab reuse that manual-DMA ring buffers would give (those hang on
+    this backend, see ops/dslash_pallas4.py)."""
 
-        def shift_x(v, forward):
-            if forward:
-                wrap = pltpu.roll(v, Xh - 1, axis=1)
-                near = pltpu.roll(v, W - 1, axis=1)
-                odd = jnp.where(k_last, wrap, near)
-                return jnp.where(s0, v, odd)
-            else:
-                wrap = pltpu.roll(v, W - (Xh - 1), axis=1)
-                near = pltpu.roll(v, 1, axis=1)
-                even = jnp.where(k_first, wrap, near)
-                return jnp.where(s0, even, v)
-
-        def neighbor(mu, forward, s, c, ri):
-            ch = (s, c, ri)
-            if mu == 3:
-                return psi(psi_tp if forward else psi_tm, *ch)
-            v = psi(psi_c, *ch)
-            if mu == 2:
-                # full-Z block: z±1 is a sublane roll, wrap included
-                return pltpu.roll(v, Z - 1 if forward else 1, axis=0)
-            return shift_y(v, forward) if mu == 1 else shift_x(v, forward)
-
-        def cmul_const(cr, ci, vr, vi):
-            if ci == 0.0:
-                if cr == 1.0:
-                    return vr, vi
-                if cr == -1.0:
-                    return -vr, -vi
-                return cr * vr, cr * vi
-            if cr == 0.0:
-                if ci == 1.0:
-                    return -vi, vr
-                if ci == -1.0:
-                    return vi, -vr
-                return -ci * vi, ci * vr
-            return cr * vr - ci * vi, cr * vi + ci * vr
-
-        acc = [[None, None] for _ in range(12)]
-        for mu in range(4):
-            for fb, (fwd, plus) in enumerate(((True, dagger),
-                                              (False, not dagger))):
-                upper, recon = _proj_rank2(mu, plus)
-                nb = [[(neighbor(mu, fwd, tt, c, 0),
-                        neighbor(mu, fwd, tt, c, 1))
-                       for c in range(3)] for tt in range(4)]
-                h = [[None, None, None] for _ in range(2)]
-                for s in (0, 1):
-                    for (tt, coef) in upper[s]:
-                        for c in range(3):
-                            term = cmul_const(coef.real, coef.imag,
-                                              *nb[tt][c])
-                            cur = h[s][c]
-                            h[s][c] = term if cur is None else (
-                                cur[0] + term[0], cur[1] + term[1])
-                uh = [[None, None, None] for _ in range(2)]
-                for s in (0, 1):
-                    for a in range(3):
-                        tr = ti = None
-                        for b in range(3):
-                            if fb == 0:
-                                ur = gauge(mu, 0, a, b, 0)
-                                ui = gauge(mu, 0, a, b, 1)
-                            else:
-                                ur = gauge(mu, 1, b, a, 0)
-                                ui = -gauge(mu, 1, b, a, 1)
-                            vr, vi = h[s][b]
-                            pr = ur * vr - ui * vi
-                            pi = ur * vi + ui * vr
-                            tr = pr if tr is None else tr + pr
-                            ti = pi if ti is None else ti + pi
-                        uh[s][a] = (tr, ti)
-                for s in range(4):
-                    if s < 2:
-                        src_row, coef = s, 1.0 + 0j
-                    else:
-                        src_row, coef = recon[s - 2]
-                    for a in range(3):
-                        vr, vi = uh[src_row][a]
-                        tr, ti = cmul_const(coef.real, coef.imag, vr, vi)
-                        kk = s * 3 + a
-                        if acc[kk][0] is None:
-                            acc[kk] = [tr, ti]
-                        else:
-                            acc[kk][0] = acc[kk][0] + tr
-                            acc[kk][1] = acc[kk][1] + ti
-
-        res = [[acc[kk][0], acc[kk][1]] for kk in range(12)]
+    def kernel(*refs):
+        refs = list(refs)
+        psi_s, psi_tp, psi_tm, g_ref = refs[:4]
+        pos = 4
+        cinv_ref = None
         if clover is not None:
-            # chiral 6x6 complex matvec on the hop result; channel
-            # idx(h, r, c, ri) = ((h*6+r)*6+c)*2+ri; spin-color kk maps
-            # to (h = kk//6, r = kk%6)
-            def cm(h, r, c, ri):
-                return _ld(cinv_ref, ((h * 6 + r) * 6 + c) * 2 + ri)
+            cinv_ref = refs[pos]
+            pos += 1
+        x_ref = None
+        if xpay_coef is not None:
+            x_ref = refs[pos]
+            pos += 1
+        out_ref = refs[pos]
+        t_base = pl.program_id(0) * tb
 
-            new = []
-            for kk in range(12):
-                h, r = kk // 6, kk % 6
-                tr = ti = None
-                for c in range(6):
-                    vr, vi = res[h * 6 + c]
-                    if clover == "fwd":
-                        mr, mi = cm(h, r, c, 0), cm(h, r, c, 1)
-                    else:                      # dag: conj transpose
-                        mr, mi = cm(h, c, r, 0), -cm(h, c, r, 1)
-                    pr_ = mr * vr - mi * vi
-                    pi_ = mr * vi + mi * vr
-                    tr = pr_ if tr is None else tr + pr_
-                    ti = pi_ if ti is None else ti + pi_
-                new.append([tr, ti])
-            res = new
-        for kk in range(12):
-            re, im = res[kk]
-            if twist is not None:
-                a, b = twist
-                g5s = 1.0 if kk < 6 else -1.0   # spins 0,1 vs 2,3
-                re, im = b * (re - (a * g5s) * im), b * (im + (a * g5s) * re)
-            if xpay_coef is not None:
-                re = x_ref[0, 2 * kk].astype(jnp.float32) + xpay_coef * re
-                im = x_ref[0, 2 * kk + 1].astype(jnp.float32) + xpay_coef * im
-            out_ref[0, 2 * kk] = re
-            out_ref[0, 2 * kk + 1] = im
+        def _mk(ref, row):
+            if ref is None:
+                return None
+            if bf16:
+                return lambda idx: ref[row, idx].astype(jnp.float32)
+            return lambda idx: ref[row, idx]
+
+        for tt in range(tb):
+            ld_tp = _mk(psi_s, tt + 1) if tt + 1 < tb else _mk(psi_tp, 0)
+            ld_tm = _mk(psi_s, tt - 1) if tt - 1 >= 0 else _mk(psi_tm, 0)
+
+            def store(idx, val, tt=tt):
+                out_ref[tt, idx] = val
+
+            _plane_body(
+                geom, dagger, parity, recon12, bf16, twist, xpay_coef,
+                clover, t_base + tt, _mk(psi_s, tt), ld_tp, ld_tm,
+                _mk(g_ref, tt), _mk(cinv_ref, tt),
+                (lambda idx, tt=tt: x_ref[tt, idx].astype(jnp.float32))
+                if x_ref is not None else None, store, recon8=recon8)
 
     return kernel
 
@@ -235,7 +356,8 @@ def dslash_ch_pallas5(g_ch, psi_ch, parity: int, geom: Geometry,
                       recon12: bool = False, bf16: bool = False,
                       twist: tuple | None = None,
                       xpay_coef: float | None = None, x_ch=None,
-                      clover: str | None = None, cinv_ch=None):
+                      clover: str | None = None, cinv_ch=None,
+                      recon8: bool = False):
     """Channel-domain v5: psi_ch/g_ch/x_ch already in planar-channel
     layout ([T, 24, Z, W] / [T, 96|144, Z, W]), output [T, 24, Z, W]
     f32.  Solver hot loops stay in this layout end-to-end — the
@@ -243,10 +365,10 @@ def dslash_ch_pallas5(g_ch, psi_ch, parity: int, geom: Geometry,
     call) that put the naive wrapper at the DMA floor; keeping the
     chain in channel form removes them entirely."""
     T, Z, W = geom.T, geom.Z, geom.W
-    ng = 96 if recon12 else 144
+    ng = 64 if recon8 else (96 if recon12 else 144)
 
     kernel = _kernel_v5(geom, dagger, parity, recon12, bf16, twist,
-                        xpay_coef, clover)
+                        xpay_coef, clover, recon8=recon8)
     pspec = lambda im: pl.BlockSpec((1, 24, Z, W), im,
                                     memory_space=pltpu.VMEM)
     ins = [psi_ch, psi_ch, psi_ch, g_ch]
@@ -276,11 +398,136 @@ def dslash_ch_pallas5(g_ch, psi_ch, parity: int, geom: Geometry,
     )(*ins)
 
 
-def gauge_channels(ud, parity: int, recon12: bool, bf16: bool):
+def dslash_ch_pallas5_slab(g_ch, psi_ch, parity: int, geom: Geometry,
+                           dagger: bool = False, interpret: bool = False,
+                           recon12: bool = False, bf16: bool = False,
+                           twist: tuple | None = None,
+                           xpay_coef: float | None = None, x_ch=None,
+                           clover: str | None = None, cinv_ch=None,
+                           tb: int = 4, recon8: bool = False):
+    """Slab-blocked v5 (same semantics/operands as dslash_ch_pallas5):
+    grid of T/tb steps, each computing a (tb, 24, Z, W) output slab from
+    the matching psi/gauge/clover slabs plus ONE t-halo plane per side.
+    psi center traffic drops 3 → (tb+2)/tb fetches per plane, which on
+    the DMA-rate-bound v5e kernel is worth ~25-60% depending on the
+    epilogue mix.  VMEM grows ~tb×, so tb must satisfy the geometry
+    gate (pick_slab_tb)."""
+    T, Z, W = geom.T, geom.Z, geom.W
+    if T % tb:
+        raise ValueError(f"T={T} not divisible by slab tb={tb}")
+    ng = 64 if recon8 else (96 if recon12 else 144)
+    nslab = T // tb
+
+    kernel = _kernel_slab(geom, dagger, parity, recon12, bf16, tb, twist,
+                          xpay_coef, clover, recon8=recon8)
+    plane = lambda im: pl.BlockSpec((1, 24, Z, W), im,
+                                    memory_space=pltpu.VMEM)
+    slab = lambda nch: pl.BlockSpec((tb, nch, Z, W), lambda i: (i, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    ins = [psi_ch, psi_ch, psi_ch, g_ch]
+    in_specs = [slab(24),
+                plane(lambda i: ((i * tb + tb) % T, 0, 0, 0)),
+                plane(lambda i: ((i * tb - 1) % T, 0, 0, 0)),
+                slab(ng)]
+    if clover is not None:
+        ins.append(cinv_ch)
+        in_specs.append(slab(144))
+    if xpay_coef is not None:
+        ins.append(x_ch)
+        in_specs.append(slab(24))
+    return pl.pallas_call(
+        kernel,
+        grid=(nslab,),
+        in_specs=in_specs,
+        out_specs=slab(24),
+        out_shape=jax.ShapeDtypeStruct((T, 24, Z, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(*ins)
+
+
+def slab_vmem_bytes(geom: Geometry, tb: int, recon12: bool, bf16: bool,
+                    clover: bool, xpay: bool, recon8: bool = False) -> int:
+    """Double-buffered VMEM footprint estimate of the slab kernel."""
+    plane = geom.Z * geom.W * 4
+    opsz = 2 if bf16 else 4
+    ng = 64 if recon8 else (96 if recon12 else 144)
+    tot = tb * 24 * plane            # psi slab (f32)
+    tot += 2 * 24 * plane            # halo planes
+    tot += tb * ng * geom.Z * geom.W * opsz      # gauge
+    if clover:
+        tot += tb * 144 * geom.Z * geom.W * opsz
+    if xpay:
+        tot += tb * 24 * plane
+    tot += tb * 24 * plane           # out
+    return 2 * tot                   # pallas double-buffers each operand
+
+
+def pick_slab_tb(geom: Geometry, recon12: bool, bf16: bool, clover: bool,
+                 xpay: bool, budget: int = 80 * 1024 * 1024,
+                 recon8: bool = False) -> int:
+    """Largest tb (divisor of T, ≤ 8) whose slab working set fits the
+    VMEM budget; 0 if even tb=1 does not fit (caller falls back to the
+    per-plane v5 kernel or a z-blocked variant).  This is the geometry
+    gate that lets 48³×96 run (STATUS r1 known-issue #1) — the
+    tunecache analogue for block shapes (reference lib/tune.cpp).
+    Budget default 80 MB measured best on v5e: pushing the working set
+    to ~110 MB (tb=4 with clover operands) degrades DMA pipelining and
+    loses the slab gain (7.28 vs 7.07 ms tmc matpc_dagm at 32³×64)."""
+    # tb capped at 4: the tb=8 slab gains only (1.5→1.25)× psi traffic
+    # but the 8×-unrolled Mosaic kernel takes minutes to compile.
+    for tb in (4, 3, 2):
+        if geom.T % tb == 0 and slab_vmem_bytes(
+                geom, tb, recon12, bf16, clover, xpay,
+                recon8=recon8) <= budget:
+            return tb
+    return 0
+
+
+def dslash_ch_auto(g_ch, psi_ch, parity: int, geom: Geometry,
+                   tb: int | None = None, **kw):
+    """Production dispatch: slab grid when the geometry gate says it
+    fits VMEM (largest valid tb), per-plane v5 otherwise — the
+    block-shape selection role of the reference autotuner
+    (lib/tune.cpp tuneLaunch), decided analytically from the calibrated
+    VMEM model instead of an empirical search."""
+    if tb is None:
+        if kw.get("interpret"):
+            # interpret-mode cost scales with the tb-unrolled op count;
+            # the CPU tier exercises the shared _plane_body through the
+            # per-plane grid (slab==v5 is asserted bitwise on-chip and
+            # by the dedicated slab interpret test).
+            tb = 1
+        else:
+            tb = pick_slab_tb(geom, kw.get("recon12", False),
+                              kw.get("bf16", False),
+                              kw.get("clover") is not None,
+                              kw.get("xpay_coef") is not None,
+                              recon8=kw.get("recon8", False))
+    if tb and tb > 1:
+        return dslash_ch_pallas5_slab(g_ch, psi_ch, parity, geom, tb=tb,
+                                      **kw)
+    return dslash_ch_pallas5(g_ch, psi_ch, parity, geom, **kw)
+
+
+def gauge_channels(ud, parity: int, recon12: bool, bf16: bool,
+                   recon8: bool = False):
     """Doubled gauge → channel layout for one parity (hoist out of
     solver loops: loop-invariant, so XLA CSEs it, but precomputing makes
-    the invariance explicit)."""
+    the invariance explicit).  recon8 emits the 8-real encoding
+    [Re/Im a2, Re/Im a3, Re/Im b1, arg(a1), arg(c1)] per link
+    ([T, 64, Z, W]) decoded on the fly in the kernel (_mat8)."""
     cdt = jnp.bfloat16 if bf16 else jnp.float32
+    if recon8:
+        m = ud[:, parity]            # [4(mu), 2(fb), 3, 3, T, Z, W]
+        a1, a2, a3 = m[:, :, 0, 0], m[:, :, 0, 1], m[:, :, 0, 2]
+        b1, c1 = m[:, :, 1, 0], m[:, :, 2, 0]
+        comps = jnp.stack(
+            [a2.real, a2.imag, a3.real, a3.imag, b1.real, b1.imag,
+             jnp.angle(a1), jnp.angle(c1)], axis=2)  # [4, 2, 8, T, Z, W]
+        flat = comps.reshape((64,) + comps.shape[3:])
+        return jnp.moveaxis(flat, 0, 1).astype(cdt)  # [T, 64, Z, W]
     g = ud[:, parity][:, :, :2] if recon12 else ud[:, parity]
     return _to_channels(g).astype(cdt)
 
@@ -297,16 +544,17 @@ def dslash_ch_pallas5_local(g_ch, psi_ext_ch, parity: int,
                             interpret: bool = False, recon12: bool = False,
                             bf16: bool = False, twist: tuple | None = None,
                             xpay_coef: float | None = None, x_ch=None,
-                            clover: str | None = None, cinv_ch=None):
+                            clover: str | None = None, cinv_ch=None,
+                            recon8: bool = False):
     """v5 kernel on a t-extended LOCAL block: psi_ext_ch is
     [T_loc+2, 24, Z, W] with halo slices at rows 0 and T_loc+1 (from the
     t∓1 neighbour shards).  The shard's t-offset must be even so the
     in-kernel checkerboard masks stay valid (guaranteed by even T_loc).
     """
     T, Z, W = geom_local.T, geom_local.Z, geom_local.W
-    ng = 96 if recon12 else 144
+    ng = 64 if recon8 else (96 if recon12 else 144)
     kernel = _kernel_v5(geom_local, dagger, parity, recon12, bf16, twist,
-                        xpay_coef, clover)
+                        xpay_coef, clover, recon8=recon8)
     pspec = lambda im: pl.BlockSpec((1, 24, Z, W), im,
                                     memory_space=pltpu.VMEM)
     ins = [psi_ext_ch, psi_ext_ch, psi_ext_ch, g_ch]
@@ -341,7 +589,8 @@ def dslash_ch_pallas5_msrc(g_ch, psi_ch_b, parity: int, geom: Geometry,
                            recon12: bool = False, bf16: bool = False,
                            twist: tuple | None = None,
                            xpay_coef: float | None = None, x_ch_b=None,
-                           clover: str | None = None, cinv_ch=None):
+                           clover: str | None = None, cinv_ch=None,
+                           recon8: bool = False):
     """Multi-RHS v5: psi_ch_b [n_src, T, 24, Z, W] (flattened to
     [n_src*T, ...] internally), grid (T, n_src) with the SOURCE axis
     innermost so the gauge (and clover) block for a given t is fetched
@@ -352,11 +601,11 @@ def dslash_ch_pallas5_msrc(g_ch, psi_ch_b, parity: int, geom: Geometry,
     """
     n = psi_ch_b.shape[0]
     T, Z, W = geom.T, geom.Z, geom.W
-    ng = 96 if recon12 else 144
+    ng = 64 if recon8 else (96 if recon12 else 144)
     psi_flat = psi_ch_b.reshape(n * T, 24, Z, W)
 
     kernel = _kernel_v5(geom, dagger, parity, recon12, bf16, twist,
-                        xpay_coef, clover)
+                        xpay_coef, clover, recon8=recon8)
     pspec = lambda im: pl.BlockSpec((1, 24, Z, W), im,
                                     memory_space=pltpu.VMEM)
     ins = [psi_flat, psi_flat, psi_flat, g_ch]

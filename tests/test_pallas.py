@@ -208,3 +208,41 @@ def test_msrc_matches_vmap_single(fields, kind, mu, dagger):
                      for i in range(n_src)])
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5)
+
+
+def test_slab_matches_v5(fields):
+    """Slab-blocked grid (dslash_ch_pallas5_slab) == per-plane v5 in
+    interpret mode (single config; the full epilogue matrix is asserted
+    bitwise on-chip, see STATUS r2).  Also covers the t-halo plane
+    index maps at the T boundary."""
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import _to_channels
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+        dslash_ch_pallas5, dslash_ch_pallas5_slab, gauge_channels)
+    u, ud, psi = fields
+    psi_ch = _to_channels(psi[1]).astype(jnp.float32)
+    g_ch = gauge_channels(ud, 0, True, False)
+    ref = dslash_ch_pallas5(g_ch, psi_ch, 0, GEOM, recon12=True,
+                            interpret=True)
+    got = dslash_ch_pallas5_slab(g_ch, psi_ch, 0, GEOM, recon12=True,
+                                 interpret=True, tb=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_recon8_roundtrip(fields):
+    """gauge_channels recon-8 encoding + in-kernel _mat8 decode matches
+    the recon-12 kernel to f32 roundoff (closed-form derivation check,
+    reference enum_quda.h:55-62 semantics)."""
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import _to_channels
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+        dslash_ch_pallas5, gauge_channels)
+    u, ud, psi = fields
+    psi_ch = _to_channels(psi[1]).astype(jnp.float32)
+    g12 = gauge_channels(ud, 0, True, False)
+    g8 = gauge_channels(ud, 0, False, False, recon8=True)
+    ref = dslash_ch_pallas5(g12, psi_ch, 0, GEOM, recon12=True,
+                            interpret=True)
+    got = dslash_ch_pallas5(g8, psi_ch, 0, GEOM, recon8=True,
+                            interpret=True)
+    rel = float(jnp.linalg.norm((got - ref).ravel())
+                / jnp.linalg.norm(ref.ravel()))
+    assert rel < 1e-5, rel
