@@ -203,16 +203,33 @@ def _build_level1(transfer, dirac):
 
 
 def generate_null_vectors(dirac: Dirac, bg: BlockGeometry, key,
-                          params: MGParams):
+                          params: MGParams, batch: int = 8):
     """Near-kernel vectors: loose inverse iteration on random sources
     (reference MG::generateNullVectors, lib/multigrid.cpp — BiCGstab to
-    setup_tol), then block-orthonormalisation."""
-    vs = []
-    for i in range(bg.nvec):
-        key, sub = jax.random.split(key)
-        b = _random_spinor(sub, dirac.geom, dirac.u.dtype)
-        vs.append(_null_solve(dirac, b, params.setup_tol,
-                              params.setup_maxiter))
+    setup_tol), then block-orthonormalisation.
+
+    On the fused-Pallas operators the nvec solves are batched through
+    the multi-RHS machinery (invert_msrc, the invertMultiSrcQuda
+    analogue): the gauge/clover traffic amortises across the batch, so
+    setup — the dominant MG bring-up cost — runs at the MRHS aggregate
+    rate instead of nvec sequential solves.  batch=8 bounds HBM
+    (~0.6 GB of channel-layout solver state per RHS at 32³×64)."""
+    keys = jax.random.split(key, bg.nvec)
+    if getattr(dirac, "_has_fused_matpc", False):
+        from quda_qkxtm_multigrid_tpu.invert import invert_msrc
+        vs = []
+        for i0 in range(0, bg.nvec, batch):
+            ks = keys[i0:i0 + batch]
+            bs = jnp.stack([_random_spinor(k, dirac.geom, dirac.u.dtype)
+                            for k in ks])
+            out = invert_msrc(dirac, bs, tol=params.setup_tol,
+                              maxiter=params.setup_maxiter)
+            vs.extend(out.x[j] for j in range(out.x.shape[0]))
+    else:
+        vs = [_null_solve(dirac, _random_spinor(k, dirac.geom,
+                                                dirac.u.dtype),
+                          params.setup_tol, params.setup_maxiter)
+              for k in keys]
     return _ortho_blocked(vs, bg)
 
 
@@ -317,12 +334,25 @@ def setup_coarse_level(coarse: CoarseOperator, params: MGParams, key):
 
 
 @partial(jax.jit, static_argnames=("n_krylov",))
-def _mg_cycle(mg, x, b, n_krylov):
-    """One GCR(n_krylov) cycle with V-cycle preconditioning; mg passed
-    as a pytree ARGUMENT (a closure would inline the gauge/coarse arrays
-    as IR constants, forcing host transfers that this backend rejects)."""
-    r = b - mg.dirac.m(x)
+def _gcr_step(mg, x, r, n_krylov):
+    """One GCR(n_krylov) correction cycle on a PRECOMPUTED residual
+    field: x += GCR-cycle(M, r, precond=V-cycle).
+
+    r arrives as an ARGUMENT from the separate _mr_resid program — the
+    backend miscompiles any single program that combines the b − M(x)
+    recomputation with the V-cycle recursion (it evaluates the collapsed
+    recursed form; see mg_solve).  Keeping the cycle residual-free makes
+    the fully-jitted GCR outer correct on TPU, restart structure as in
+    the reference (inv_gcr_quda.cpp:348-457)."""
     e = gcr_cycle(mg.dirac.m, r, n_krylov=n_krylov, precond=mg.vcycle)
+    return x + e
+
+
+@partial(jax.jit, static_argnames=("n_krylov", "mesh"))
+def _gcr_step_sharded(mg, x, r, n_krylov, mesh):
+    """_gcr_step with the replicated-coarse V-cycle (multi-chip path)."""
+    e = gcr_cycle(mg.dirac.m, r, n_krylov=n_krylov,
+                  precond=lambda rr: mg.vcycle_resharded(rr, mesh))
     return x + e
 
 
@@ -368,22 +398,30 @@ def _mr_step_sharded(mg, x, r, mesh):
 
 def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
              n_krylov: int = 10, max_restarts: int = 50,
-             solver: str = "mr-richardson", mesh=None):
+             solver: str = "gcr", mesh=None, telemetry: bool = False):
     """MG-preconditioned outer solve of M x = b.
 
-    Default "mr-richardson": host-stepped minimal-residual Richardson,
-    x += ω V-cycle(b − Mx) with a line search — with a V-cycle
-    contraction of ~0.06/iteration this converges as fast as the
-    reference's GCR wrapper in practice, recomputes the TRUE residual
-    every step (the reliable-update discipline), and sidesteps a TPU
-    backend miscompilation where any in-graph combination of the
-    preconditioned Krylov recursion with its own residual evaluates the
-    collapsed recursed form (observed 2.8e-9 vs true 103 for the same x).
+    Default "gcr": restarted GCR(n_krylov) — the reference's production
+    outer (inv_gcr_quda.cpp:518) — structured for this backend as a
+    host-paced restart loop over TWO jit programs per restart: (1)
+    _mr_resid computes the true residual FIELD (+ norm; recomputed every
+    restart = the reliable-update discipline), (2) _gcr_step runs the
+    preconditioned GCR cycle on that residual.  The split is load-
+    bearing: one program combining b − M(x) with the V-cycle recursion
+    miscompiles on the axon TPU backend (it evaluates the collapsed
+    recursed form; observed 2.8e-9 vs true 103 for the same x).  One
+    host sync per n_krylov iterations is negligible.
 
-    "gcr-jit": the fully-jitted GCR(n_krylov) restart cycle (correct on
-    CPU; affected by the above on the current TPU backend)."""
+    "mr-richardson": host-stepped minimal-residual Richardson, one
+    V-cycle + true-residual per iteration — more syncs/residual
+    recomputations, kept as the maximally-defensive fallback.
+
+    telemetry=True: returns SolveTelemetry with secs/gflops per solve
+    (quda.h:198-202 parity)."""
     from quda_qkxtm_multigrid_tpu.solvers.gcr import GCRResult
+    import time as _time
 
+    t0 = _time.perf_counter()
     x = _zeros_like(b)
     b2 = float(_norm2(b))
     iters = 0
@@ -398,11 +436,22 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
             else:
                 x = _mr_step(mg, x, r)
             iters += 1
-        return GCRResult(x, jnp.asarray(iters), r2)
-    for i in range(max_restarts):
-        x = _mg_cycle(mg, x, b, n_krylov)
-        _, r2 = _mr_resid(mg, x, b)
-        iters += n_krylov
-        if float(r2) <= tol * tol * b2:
-            break
-    return GCRResult(x, jnp.asarray(iters), r2)
+    elif solver == "gcr":
+        for i in range(max_restarts):
+            r, r2 = _mr_resid(mg, x, b)
+            if float(r2) <= tol * tol * b2:
+                break
+            if mesh is not None:
+                x = _gcr_step_sharded(mg, x, r, n_krylov, mesh)
+            else:
+                x = _gcr_step(mg, x, r, n_krylov)
+            iters += n_krylov
+    else:
+        raise ValueError(f"unknown mg_solve solver {solver!r}")
+    res = GCRResult(x, jnp.asarray(iters), r2)
+    if telemetry:
+        from quda_qkxtm_multigrid_tpu.utils.profiling import solve_telemetry
+        return res, solve_telemetry(mg.dirac, iters,
+                                    _time.perf_counter() - t0,
+                                    mg_cycles=iters)
+    return res

@@ -25,6 +25,7 @@ class CGResult(NamedTuple):
     x: jax.Array
     iters: jax.Array      # iterations used
     r2: jax.Array         # final residual norm² (of the solved system)
+    stats: object = None  # ReliableStats for the mixed-precision solver
 
 
 def _dot(a, b):
@@ -32,11 +33,16 @@ def _dot(a, b):
 
 
 def cg(matvec: Callable, b, x0=None, tol: float = 1e-10, maxiter: int = 1000,
-       abs_b2: Optional[jax.Array] = None) -> CGResult:
+       abs_b2: Optional[jax.Array] = None,
+       tol_hq: Optional[float] = None) -> CGResult:
     """Solve A x = b, A hermitian positive definite.
 
     Stops on |r|² ≤ tol²·|b|² (QUDA's L2-relative stopping condition,
-    reference include/quda.h:252) or maxiter.
+    reference include/quda.h:252) or maxiter.  With tol_hq set, the
+    Fermilab heavy-quark residual hq(x, r) must ALSO fall below tol_hq
+    (the bitwise-OR bitmask semantics of quda.h:252-260: both stopping
+    conditions required) — fields must be in the canonical complex
+    layout [..., 4, 3, T, Z, W] for the per-site norms.
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -46,10 +52,19 @@ def cg(matvec: Callable, b, x0=None, tol: float = 1e-10, maxiter: int = 1000,
     b2 = _dot(b, b) if abs_b2 is None else abs_b2
     target = (tol * tol) * b2
     r2 = _dot(r, r)
+    use_hq = tol_hq is not None
+    if use_hq:
+        from quda_qkxtm_multigrid_tpu.solvers.support import (
+            heavy_quark_residual_sq)
+        hq_target = tol_hq * tol_hq
 
     def cond(carry):
-        _, _, _, r2, k = carry
-        return jnp.logical_and(r2 > target, k < maxiter)
+        x, r, _, r2, k = carry
+        not_done = r2 > target
+        if use_hq:
+            not_done = jnp.logical_or(
+                not_done, heavy_quark_residual_sq(x, r) > hq_target)
+        return jnp.logical_and(not_done, k < maxiter)
 
     def body(carry):
         x, r, p, r2, k = carry
@@ -71,29 +86,51 @@ def cg(matvec: Callable, b, x0=None, tol: float = 1e-10, maxiter: int = 1000,
 def cg_mixed(matvec_hi: Callable, matvec_lo: Callable, b,
              tol: float = 1e-10, maxiter: int = 2000,
              inner_tol: float = 1e-3, inner_maxiter: int = 500,
-             lo_dtype=jnp.complex64, max_restarts: int = 20) -> CGResult:
+             lo_dtype=jnp.complex64, max_restarts: int = 20,
+             max_res_increase: int = 1,
+             max_res_increase_total: int = 10) -> CGResult:
     """Mixed-precision CG: sloppy inner CG + high-precision
     defect-correction restarts (the role of matSloppy + reliable updates,
-    reference inv_cg_quda.cpp:207-311)."""
+    reference inv_cg_quda.cpp:207-311).
+
+    Residual-increase counters (inv_cg_quda.cpp:260-281): if the TRUE
+    residual after a reliable update exceeds the previous reliable
+    residual more than ``max_res_increase`` consecutive times (or
+    ``max_res_increase_total`` over the solve), the solver has hit the
+    precision floor of the sloppy operator and terminates instead of
+    looping forever; ``result.stats.diverged`` reports it."""
+    from quda_qkxtm_multigrid_tpu.solvers.support import ReliableStats
+
     b2 = _dot(b, b)
     target = (tol * tol) * b2
     x0 = jnp.zeros_like(b)
 
     def cond(carry):
-        _, r2, restarts, _ = carry
-        return jnp.logical_and(r2 > target, restarts < max_restarts)
+        _, r2, restarts, _, inc, inc_tot = carry
+        ok = jnp.logical_and(inc <= max_res_increase,
+                             inc_tot <= max_res_increase_total)
+        return jnp.logical_and(
+            jnp.logical_and(r2 > target, restarts < max_restarts), ok)
 
     def body(carry):
-        x, r2, restarts, iters = carry
+        x, r2, restarts, iters, inc, inc_tot = carry
         r = b - matvec_hi(x)
         e = cg(matvec_lo, r.astype(lo_dtype), tol=inner_tol,
                maxiter=inner_maxiter)
         x = x + e.x.astype(b.dtype)
         r_new = b - matvec_hi(x)
-        return (x, _dot(r_new, r_new), restarts + 1, iters + e.iters)
+        r2_new = _dot(r_new, r_new)
+        increased = r2_new > r2
+        inc = jnp.where(increased, inc + 1, 0)
+        inc_tot = inc_tot + increased.astype(jnp.int32)
+        return (x, r2_new, restarts + 1, iters + e.iters, inc, inc_tot)
 
-    r2 = _dot(b, b)
-    x, r2, restarts, iters = jax.lax.while_loop(
-        cond, body, (x0, r2, jnp.asarray(0, jnp.int32),
-                     jnp.asarray(0, jnp.int32)))
-    return CGResult(x, iters, r2)
+    z32 = jnp.asarray(0, jnp.int32)
+    x, r2, restarts, iters, inc, inc_tot = jax.lax.while_loop(
+        cond, body, (x0, _dot(b, b), z32, z32, z32, z32))
+    diverged = jnp.logical_and(
+        r2 > target,
+        jnp.logical_or(inc > max_res_increase,
+                       inc_tot > max_res_increase_total))
+    return CGResult(x, iters, r2,
+                    ReliableStats(restarts, inc, inc_tot, diverged))

@@ -60,6 +60,35 @@ FLOPS_PER_SITE = {
 }
 
 
+class SolveTelemetry:
+    """Per-solve performance record — the analogue of the gflops/secs/
+    iter fields QUDA returns through QudaInvertParam (reference
+    include/quda.h:111-113, 198-202) and prints per solve."""
+
+    def __init__(self, iters: int, secs: float, gflops: float):
+        self.iters = int(iters)
+        self.secs = float(secs)
+        self.gflops = float(gflops)
+
+    def __repr__(self):
+        return (f"SolveTelemetry(iters={self.iters}, secs={self.secs:.3f}, "
+                f"gflops={self.gflops:.1f})")
+
+    def as_dict(self):
+        return {"iters": self.iters, "secs": round(self.secs, 4),
+                "gflops": round(self.gflops, 1)}
+
+
+def solve_telemetry(dirac, iters: int, secs: float,
+                    mg_cycles: int = 0) -> SolveTelemetry:
+    """Analytic-ledger gflops for a solve: counts only the outer-operator
+    applications (one matvec per iteration; MG V-cycle work is NOT
+    ledgered, matching how the reference attributes solver gflops to the
+    outer operator, lib/inv_gcr_quda.cpp 'true gflops' accounting)."""
+    flops = dirac.flops_per_mat() * max(iters, 1)
+    return SolveTelemetry(iters, secs, flops / max(secs, 1e-12) / 1e9)
+
+
 def enable_compile_cache(path: str):
     """Persistent XLA compilation cache — the role of QUDA's tunecache
     under QUDA_RESOURCE_PATH (reference lib/tune.cpp:211-260)."""
