@@ -217,13 +217,21 @@ def generate_null_vectors(dirac: Dirac, bg: BlockGeometry, key,
     keys = jax.random.split(key, bg.nvec)
     if getattr(dirac, "_has_fused_matpc", False):
         from quda_qkxtm_multigrid_tpu.invert import invert_msrc
+
+        @partial(jax.jit, static_argnames=("tol", "maxiter"))
+        def _msrc_solve(d, bs, tol, maxiter):
+            # jit-wrapped: invert_msrc is eager-hostile on the TPU
+            # backend (vmap'd complex prepares outside jit raise
+            # UNIMPLEMENTED)
+            return invert_msrc(d, bs, tol=tol, maxiter=maxiter)
+
         vs = []
         for i0 in range(0, bg.nvec, batch):
             ks = keys[i0:i0 + batch]
             bs = jnp.stack([_random_spinor(k, dirac.geom, dirac.u.dtype)
                             for k in ks])
-            out = invert_msrc(dirac, bs, tol=params.setup_tol,
-                              maxiter=params.setup_maxiter)
+            out = _msrc_solve(dirac, bs, params.setup_tol,
+                              params.setup_maxiter)
             vs.extend(out.x[j] for j in range(out.x.shape[0]))
     else:
         vs = [_null_solve(dirac, _random_spinor(k, dirac.geom,
@@ -357,7 +365,10 @@ def _gcr_step_sharded(mg, x, r, n_krylov, mesh):
 
 
 _zeros_like = jax.jit(jnp.zeros_like)
-_norm2 = jax.jit(lambda v: jnp.real(jnp.vdot(v, v)))
+# NOTE: no bare jitted norm helper here on purpose — a program whose
+# only output is a scalar reduction of a complex field raises
+# UNIMPLEMENTED / miscompiles on the axon TPU backend; always obtain
+# norms from a program that also returns a field (_mr_resid).
 
 
 @jax.jit
@@ -423,12 +434,15 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
 
     t0 = _time.perf_counter()
     x = _zeros_like(b)
-    b2 = float(_norm2(b))
+    # |b|² from the first residual program (x = 0 ⇒ r² = |b|²): a
+    # standalone scalar-only complex-reduction program raises
+    # UNIMPLEMENTED on the axon backend; _mr_resid carries the field
+    # output that makes the reduction well-formed.
+    r, r2 = _mr_resid(mg, x, b)
+    b2 = float(r2)
     iters = 0
-    r2 = None
     if solver == "mr-richardson":
         for i in range(max_restarts * n_krylov):
-            r, r2 = _mr_resid(mg, x, b)
             if float(r2) <= tol * tol * b2:
                 break
             if mesh is not None:
@@ -436,9 +450,9 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
             else:
                 x = _mr_step(mg, x, r)
             iters += 1
+            r, r2 = _mr_resid(mg, x, b)
     elif solver == "gcr":
         for i in range(max_restarts):
-            r, r2 = _mr_resid(mg, x, b)
             if float(r2) <= tol * tol * b2:
                 break
             if mesh is not None:
@@ -446,6 +460,7 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
             else:
                 x = _gcr_step(mg, x, r, n_krylov)
             iters += n_krylov
+            r, r2 = _mr_resid(mg, x, b)
     else:
         raise ValueError(f"unknown mg_solve solver {solver!r}")
     res = GCRResult(x, jnp.asarray(iters), r2)

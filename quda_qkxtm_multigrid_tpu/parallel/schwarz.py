@@ -76,3 +76,39 @@ def schwarz_precond(dirac, mesh, niter: int = 4, omega: float = 0.85):
                 out_specs=spec_r, check_vma=False)(r, dirac.u)
 
     return k
+
+
+def _shard_color_mask(mesh, like):
+    """Field-shaped {0,1} mask that is 1 on 'red' shards (even sum of
+    mesh coordinates) and 0 on 'black' shards."""
+    spec_r = P(None, None, None, "t", "z", "w")
+
+    def local(r_l):
+        c = (jax.lax.axis_index("t") + jax.lax.axis_index("z")
+             + jax.lax.axis_index("w")) % 2
+        return jnp.where(c == 0, jnp.ones_like(r_l), jnp.zeros_like(r_l))
+
+    return jax.shard_map(local, mesh=mesh, in_specs=(spec_r,),
+                         out_specs=spec_r, check_vma=False)(like)
+
+
+def schwarz_precond_multiplicative(dirac, mesh, niter: int = 4,
+                                   omega: float = 0.85):
+    """Two-color MULTIPLICATIVE Schwarz (reference QudaSchwarzType
+    QUDA_MULTIPLICATIVE_SCHWARZ, include/quda.h:250): shards are
+    2-colored by mesh coordinate parity; the black half-sweep sees the
+    residual UPDATED by the red half-sweep.  Costs one extra full-
+    operator application (with comms) per preconditioner call in
+    exchange for the stronger sequential-sweep contraction — the
+    classical additive/multiplicative trade.  Use under a flexible
+    outer solver."""
+    block = schwarz_precond(dirac, mesh, niter=niter, omega=omega)
+
+    def k(r):
+        mask = _shard_color_mask(mesh, r)
+        z1 = block(r) * mask
+        r1 = r - dirac.m(z1)
+        z2 = block(r1) * (1.0 - mask)
+        return z1 + z2
+
+    return k

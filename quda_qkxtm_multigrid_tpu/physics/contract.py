@@ -242,7 +242,8 @@ def baryon_correlators(prop_up, prop_dn):
     — accum ordering matches the reference (accum1 = first flavor)."""
     out = []
     specs = [
-        (-1.0, -_G13, _G13, None, None),        # NTN (M4 = -g13 x g13 -> A=-g13)
+        (+1.0, -_G13, _G13, None, None),        # NTN: table = (-g13)x(g13),
+        # kernel accumulates +factor (contractBaryons_core_Kepler.h:68)
         (-1.0, _G13, _G134, None, _G4),         # NTR (kernel applies -factor)
         (+1.0, -_G134, _G13, _G4, None),        # RTN
         (-1.0, _G134, _G134, _G4, _G4),         # RTR

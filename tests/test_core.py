@@ -145,3 +145,46 @@ class TestDslash:
         lhs = g.apply_gamma5(dsl.wilson_mat(u, g.apply_gamma5(psi), kappa, GEOM))
         rhs = dsl.wilson_mat(u, psi, kappa, GEOM, dagger=True)
         np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-11)
+
+
+def test_memory_accountant():
+    """Live-buffer byte accounting (reference malloc.cpp peak
+    tracking / assertAllMemFree analogues)."""
+    import gc
+    import jax.numpy as jnp
+    from quda_qkxtm_multigrid_tpu.utils.memory import (
+        live_bytes, PeakTracker, assert_no_leak)
+    base = live_bytes()
+    with PeakTracker() as pt:
+        a = jnp.ones((256, 1024), jnp.float32) * 2.0
+        a.block_until_ready()
+        pt.sample()
+    assert pt.peak >= base + 1024 * 1024
+    del a
+    gc.collect()
+    with assert_no_leak(tol_bytes=1 << 20):
+        b = jnp.ones((8, 8)) + 1
+        b.block_until_ready()
+        del b
+        gc.collect()
+
+
+def test_verbosity_stack(capsys):
+    from quda_qkxtm_multigrid_tpu.utils.logging import (
+        Verbosity, log, push_verbosity, output_prefix, get_verbosity,
+        print_params)
+    from quda_qkxtm_multigrid_tpu.dirac import DiracParams
+    log("summary-level", Verbosity.SUMMARIZE)
+    log("debug-level", Verbosity.DEBUG_VERBOSE)
+    out = capsys.readouterr().out
+    assert "summary-level" in out and "debug-level" not in out
+    with push_verbosity(Verbosity.DEBUG_VERBOSE):
+        assert get_verbosity() == Verbosity.DEBUG_VERBOSE
+        with output_prefix("MG: "):
+            log("inner", Verbosity.DEBUG_VERBOSE)
+    assert get_verbosity() == Verbosity.SUMMARIZE
+    assert "MG: inner" in capsys.readouterr().out
+    with push_verbosity(Verbosity.VERBOSE):
+        print_params(DiracParams(kind="wilson", kappa=0.12))
+    out = capsys.readouterr().out
+    assert "kappa = 0.12" in out
