@@ -247,6 +247,88 @@ class Dirac:
             _to_channels(psi_p).astype(jnp.float32), dagger)
         return _from_channels(out, (4, 3))
 
+    def _fused_matpc_ch_shmap(self, psi_ch, mesh, dagger: bool = False,
+                              interpret: bool | None = None):
+        """Multi-chip fused matpc: the WHOLE Schur chain (two fused
+        dslash kernels + epilogues) runs inside one shard_map over the
+        't' mesh axis — per application the only comms are two ppermute
+        pairs of t-face planes over ICI (one per hop), the TPU-native
+        form of the reference dslash pack/comms pipeline
+        (lib/dslash_policy.cuh).  z/w axes must be 1 (the full-Z kernel
+        keeps z/x/y hops on-chip); psi_ch is the t-sharded channel field
+        [T, 24, Z, W].  Requires even local T so the in-kernel
+        checkerboard masks stay valid on every shard."""
+        from jax.sharding import PartitionSpec as P
+        from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+            dslash_ch_pallas5_local as v5l, _t_extend, gauge_channels,
+            clover_channels)
+        from quda_qkxtm_multigrid_tpu.lattice import Geometry as _Geom
+
+        if interpret is None:
+            # virtual-device CPU meshes can only run Pallas in
+            # interpret mode (test/dryrun tier)
+            interpret = jax.default_backend() != "tpu"
+        p = self.params
+        nt = mesh.shape.get("t", 1)
+        if mesh.shape.get("z", 1) != 1 or mesh.shape.get("w", 1) != 1:
+            raise ValueError("fused shmap matpc shards only the t axis")
+        T_loc = self.geom.T // nt
+        if T_loc % 2:
+            raise ValueError("local T extent must be even")
+        geom_l = _Geom(self.geom.X, self.geom.Y, self.geom.Z, T_loc)
+        pr, k = p.matpc_parity, p.kappa
+        bf = p.pallas_bf16
+        kw = dict(recon12=True, bf16=bf, interpret=interpret)
+        g_p = gauge_channels(self.u_doubled, pr, True, bf)
+        g_o = gauge_channels(self.u_doubled, 1 - pr, True, bf)
+        if p.has_clover:
+            ci_p = clover_channels(self.clover_inv, pr, bf)
+            ci_o = clover_channels(self.clover_inv, 1 - pr, bf)
+        else:
+            a = 2.0 * p.kappa * p.mu * p.flavor
+            if dagger:
+                a = -a
+            tw = (-a, 1.0 / (1.0 + a * a))
+
+        def local(psi_l, g_p_l, g_o_l, ci_p_l, ci_o_l):
+            ext = _t_extend(psi_l, nt)
+            if p.has_clover:
+                if not dagger:
+                    t = v5l(g_o_l, ext, 1 - pr, geom_l, clover="fwd",
+                            cinv_ch=ci_o_l, **kw)
+                    ext2 = _t_extend(t, nt)
+                    return v5l(g_p_l, ext2, pr, geom_l, clover="fwd",
+                               cinv_ch=ci_p_l, xpay_coef=-(k * k),
+                               x_ch=ext, **kw)
+                t0 = _ch_clover_apply(psi_l, ci_p_l, dag=True)
+                t = v5l(g_o_l, _t_extend(t0, nt), 1 - pr, geom_l,
+                        dagger=True, clover="dag", cinv_ch=ci_o_l, **kw)
+                return v5l(g_p_l, _t_extend(t, nt), pr, geom_l,
+                           dagger=True, xpay_coef=-(k * k), x_ch=ext,
+                           **kw)
+            if not dagger:
+                t = v5l(g_o_l, ext, 1 - pr, geom_l, twist=tw, **kw)
+                return v5l(g_p_l, _t_extend(t, nt), pr, geom_l,
+                           twist=tw, xpay_coef=-(k * k), x_ch=ext, **kw)
+            t0 = _ch_twist(psi_l, tw[0], tw[1])
+            t = v5l(g_o_l, _t_extend(t0, nt), 1 - pr, geom_l,
+                    dagger=True, twist=tw, **kw)
+            return v5l(g_p_l, _t_extend(t, nt), pr, geom_l, dagger=True,
+                       xpay_coef=-(k * k), x_ch=ext, **kw)
+
+        spec = P("t", None, None, None)
+        if p.has_clover:
+            return jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(spec, spec, spec, spec, spec),
+                out_specs=spec, check_vma=False)(
+                    psi_ch, g_p, g_o, ci_p, ci_o)
+        local_nc = lambda psi_l, g_p_l, g_o_l: local(psi_l, g_p_l,
+                                                     g_o_l, None, None)
+        return jax.shard_map(
+            local_nc, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=spec, check_vma=False)(psi_ch, g_p, g_o)
+
     # ---- parity-diagonal term A ------------------------------------
     def a_apply(self, psi_p, parity: int, dagger: bool = False):
         p = self.params

@@ -32,14 +32,43 @@ def _fused_tm(dirac: Dirac) -> bool:
 
 def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
            solver: str = "cg", sloppy_dirac: Dirac | None = None,
-           inner_tol: float = 1e-2) -> InvertResult:
+           inner_tol: float = 1e-2, mesh=None) -> InvertResult:
     """Solve M x = b via CG on the even-odd preconditioned normal
     equations M_pc† M_pc x_p = M_pc† src (QUDA_NORMOP_PC_SOLVE).
 
     When the operator has the fused Pallas path (twisted-mass,
     use_pallas), the CG hot loop runs entirely in planar-channel f32
     layout — the matvec is 4 fused kernels with no elementwise or
-    layout-conversion passes between them."""
+    layout-conversion passes between them.
+
+    mesh: with a t-sharded lattice mesh, the hot loop runs the
+    MULTI-CHIP fused matpc (Dirac._fused_matpc_ch_shmap — two t-face
+    ppermute pairs per application); prepare/reconstruct and the final
+    true-residual run on the auto-partitioned XLA path (once per
+    solve)."""
+    if mesh is not None and solver == "cg" and _fused_tm(dirac):
+        import dataclasses as _dc
+        from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
+            _to_channels, _from_channels)
+
+        d_xla = _dc.replace(dirac, params=_dc.replace(
+            dirac.params, use_pallas=False))
+        src = d_xla.prepare(b)
+        rhs = d_xla.matpc(src, dagger=True)
+
+        def matvec_ch(v_ch):
+            t = dirac._fused_matpc_ch_shmap(v_ch, mesh, False)
+            return dirac._fused_matpc_ch_shmap(t, mesh, True)
+
+        rhs_ch = _to_channels(rhs).astype(jnp.float32)
+        res_ch = cg(matvec_ch, rhs_ch, tol=tol, maxiter=maxiter)
+        x_p = _from_channels(res_ch.x, (4, 3)).astype(rhs.dtype)
+        x = d_xla.reconstruct(x_p, b)
+        r = b - d_xla.m(x)
+        true_res = jnp.sqrt(jnp.real(jnp.vdot(r, r))
+                            / jnp.real(jnp.vdot(b, b)))
+        return InvertResult(x, res_ch.iters, true_res)
+
     src = dirac.prepare(b)
     rhs = dirac.matpc(src, dagger=True)
 

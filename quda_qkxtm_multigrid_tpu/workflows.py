@@ -155,7 +155,7 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
              ape_alpha: float = 0.5, ape_n: int = 20,
              gauss_alpha: float = 4.0, gauss_n: int = 50,
              tol: float = 1e-8, maxiter: int = 1000, verbose=False,
-             mg_params=None, mg_key=None):
+             mg_params=None, mg_key=None, mesh=None):
     """Point-source 2pt workflow: both twist flavors, mesons + baryons,
     momentum-projected.  Returns dict with correlators and the momentum
     list.
@@ -163,9 +163,19 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
     mg_params: optional MGParams — solve each column with the MG-
     preconditioned outer solver using the per-flavor preconditioner pair
     (reference preconditionerUP/DN, interface_quda.cpp:6432/6502) set up
-    ONCE for all 24 solves."""
+    ONCE for all 24 solves.
+
+    mesh: optional lattice Mesh — the whole workflow runs with
+    t/z/w-sharded fields: solves auto-partition (XLA path) or use the
+    fused shmap matpc (TPU t-sharding), and the per-timeslice
+    contraction + momentum projection reduce over the SPATIAL mesh axes
+    only (the role of the reference's time-slice communicator,
+    qudaQKXTM_Kepler_utils.cpp:40-61, SURVEY §2.10.9)."""
     kind = "twisted-clover" if csw != 0.0 else "twisted-mass"
     src_arr = jnp.asarray(source, jnp.int32)
+    if mesh is not None:
+        from quda_qkxtm_multigrid_tpu.parallel.mesh import shard_gauge
+        u = shard_gauge(u, mesh)
     u_ape = _ape(u, geom, ape_alpha, ape_n)
     diracs = {}
     for name, flavor in (("up", +1), ("dn", -1)):
@@ -174,6 +184,16 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
                            flavor=flavor,
                            use_pallas=_auto_pallas(u, geom)), geom)
     solve_fns = {"up": None, "dn": None}
+    if mesh is not None and diracs["up"]._has_fused_matpc:
+        from quda_qkxtm_multigrid_tpu.invert import invert as _inv
+
+        def _mk_mesh_solve(d):
+            def f(b):
+                out = _inv(d, b, tol=tol, maxiter=maxiter, mesh=mesh)
+                return out.x, out.true_res
+            return f
+        solve_fns = {"up": _mk_mesh_solve(diracs["up"]),
+                     "dn": _mk_mesh_solve(diracs["dn"])}
     mg_pair = None
     if mg_params is not None:
         from quda_qkxtm_multigrid_tpu.mg.multigrid import setup_mg_pair

@@ -246,3 +246,29 @@ def test_recon8_roundtrip(fields):
     rel = float(jnp.linalg.norm((got - ref).ravel())
                 / jnp.linalg.norm(ref.ravel()))
     assert rel < 1e-5, rel
+
+
+@pytest.mark.parametrize("kind", ["twisted-mass", "twisted-clover"])
+def test_fused_matpc_shmap(fields, kind):
+    """Multi-chip fused matpc (whole Schur chain inside one shard_map,
+    two t-face ppermute pairs per application) bit-matches the XLA
+    matpc on a virtual 2-chip mesh."""
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
+        _to_channels, _from_channels)
+    from quda_qkxtm_multigrid_tpu.dirac import DiracParams, make_dirac
+    from quda_qkxtm_multigrid_tpu.parallel import make_lattice_mesh
+    import dataclasses as _dc
+    u, ud, psi = fields
+    d = make_dirac(u.astype(jnp.complex64),
+                   DiracParams(kind=kind, kappa=0.115, mu=0.05,
+                               csw=1.0 if kind == "twisted-clover" else 0.0),
+                   GEOM)
+    d_f = _dc.replace(d, u_doubled=ud,
+                      params=_dc.replace(d.params, use_pallas=True))
+    mesh = make_lattice_mesh((2, 1, 1))
+    ref = d.matpc(psi[0])
+    ch = _to_channels(psi[0]).astype(jnp.float32)
+    got = _from_channels(
+        d_f._fused_matpc_ch_shmap(ch, mesh, interpret=True), (4, 3))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4)

@@ -144,3 +144,56 @@ def test_multiplicative_schwarz(grid):
     rel = float(jnp.linalg.norm(r.ravel()) / jnp.linalg.norm(b.ravel()))
     assert rel < 1e-6, rel
     assert int(out_m.iters) <= int(out_a.iters)
+
+
+def test_fused_invert_sharded():
+    """Production sharded solve on the FUSED Pallas path (invert with
+    mesh=...): matches the single-device fused solve iterate-for-
+    iterate at fixed maxiter (VERDICT r1 next-step 5)."""
+    import dataclasses as _dc
+    from quda_qkxtm_multigrid_tpu.invert import invert
+    from quda_qkxtm_multigrid_tpu.ops import dslash as _dsl
+    u, b = _fields(3)
+    u = u.astype(jnp.complex64)
+    b = b.astype(jnp.complex64)
+    d = make_dirac(u, DiracParams(kind="twisted-mass", kappa=0.115,
+                                  mu=0.05, use_pallas=True), GEOM)
+    d = _dc.replace(d, u_doubled=_dsl.double_gauge(u, GEOM))
+    mesh = make_lattice_mesh((2, 1, 1))
+    d_s = shard_dirac(d, mesh)
+    b_s = shard_spinor(b, mesh)
+    # single-device reference on the XLA path (the CPU tier cannot run
+    # the single-chip Pallas kernels outside interpret mode; the fused
+    # shmap matpc itself is asserted against the XLA matpc in
+    # test_pallas.test_fused_matpc_shmap)
+    d_ref = _dc.replace(d, params=_dc.replace(d.params, use_pallas=False))
+    ref = invert(d_ref, b, tol=1e-12, maxiter=2)
+    with jax.set_mesh(mesh):
+        got = invert(d_s, b_s, tol=1e-12, maxiter=2, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(jnp.real(got.x)),
+                               np.asarray(jnp.real(ref.x)), atol=1e-5)
+    np.testing.assert_allclose(float(got.true_res), float(ref.true_res),
+                               rtol=1e-3)
+
+
+def test_run_twop_sharded():
+    """Sharded 2pt workflow (VERDICT r1 next-step 8): run_twop on a
+    (2,2,1) virtual mesh equals the single-device result — exercises
+    sharded solves, timeslice contraction maps and the spatial-axes
+    momentum reduction (time-slice communicator analogue, reference
+    qudaQKXTM_Kepler_utils.cpp:40-61)."""
+    from quda_qkxtm_multigrid_tpu.workflows import run_twop
+    from quda_qkxtm_multigrid_tpu.utils import rng
+    geom = Geometry(4, 4, 4, 8)
+    u = rng.random_gauge(jax.random.PRNGKey(9), geom,
+                         dtype=jnp.complex128)
+    kw = dict(kappa=0.115, mu=0.05, csw=0.0, q_sq_max=0, ape_n=2,
+              gauss_n=2, tol=1e-9, maxiter=300)
+    ref = run_twop(u, geom, **kw)
+    mesh = make_lattice_mesh((2, 2, 1))
+    with jax.set_mesh(mesh):
+        got = run_twop(u, geom, mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(got["mesons"]),
+                               np.asarray(ref["mesons"]), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got["baryons"]),
+                               np.asarray(ref["baryons"]), atol=1e-9)
