@@ -179,9 +179,26 @@ def _ortho_blocked(vs, bg):
     return block_orthonormalize(jnp.stack([to_blocked(v, bg) for v in vs]))
 
 
+@partial(jax.jit, static_argnames=("bg",))
+def _ortho_blocked_batched(batches, bg):
+    """As _ortho_blocked but over a list of [n_i, ...] batch arrays."""
+    vb = jnp.concatenate(batches) if len(batches) > 1 else batches[0]
+    return block_orthonormalize(jax.vmap(lambda v: to_blocked(v, bg))(vb))
+
+
 @partial(jax.jit, static_argnames=("geom", "dtype"))
 def _random_spinor(key, geom, dtype):
     return _rng.random_spinor(key, geom, dtype=dtype)
+
+
+@partial(jax.jit, static_argnames=("geom", "n", "dtype"))
+def _random_spinor_batch(key, geom, n, dtype):
+    """n random sources stacked INSIDE one jit program — an eager
+    jnp.stack of complex fields is an unsupported op on the axon TPU
+    backend (surfaces as a deferred UNIMPLEMENTED at the next fetch)."""
+    ks = jax.random.split(key, n)
+    return jax.vmap(
+        lambda k: _rng.random_spinor(k, geom, dtype=dtype))(ks)
 
 
 @jax.jit
@@ -225,14 +242,18 @@ def generate_null_vectors(dirac: Dirac, bg: BlockGeometry, key,
             # UNIMPLEMENTED)
             return invert_msrc(d, bs, tol=tol, maxiter=maxiter)
 
-        vs = []
+        batches = []
         for i0 in range(0, bg.nvec, batch):
-            ks = keys[i0:i0 + batch]
-            bs = jnp.stack([_random_spinor(k, dirac.geom, dirac.u.dtype)
-                            for k in ks])
+            n = min(batch, bg.nvec - i0)
+            bs = _random_spinor_batch(keys[i0], dirac.geom, n,
+                                      dirac.u.dtype)
             out = _msrc_solve(dirac, bs, params.setup_tol,
                               params.setup_maxiter)
-            vs.extend(out.x[j] for j in range(out.x.shape[0]))
+            batches.append(out.x)
+        # concatenate + block-orthonormalise inside ONE jit program
+        # (eager complex stack/slice ops are unsupported on the axon
+        # TPU backend)
+        return _ortho_blocked_batched(batches, bg)
     else:
         vs = [_null_solve(dirac, _random_spinor(k, dirac.geom,
                                                 dirac.u.dtype),

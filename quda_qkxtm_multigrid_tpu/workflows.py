@@ -399,17 +399,21 @@ def run_loops(u, geom: Geometry, kappa: float, mu: float, csw: float,
 def run_loops_wexact(u, geom: Geometry, kappa: float, mu: float, csw: float,
                      nev: int, n_stoch: int, key, tol: float = 1e-8,
                      maxiter: int = 1000, ncv: Optional[int] = None,
-                     lanczos_tol: float = 1e-6):
+                     lanczos_tol: float = 1e-6, full_op: bool = False):
     """Disconnected loops with exact low-mode deflation — the analogue of
     calcMG_loop_wOneD_TSM_wExact (reference interface_quda.cpp:7093):
     eigensolve → exact low-mode loop contribution per mode → stochastic
     remainder with deflation-space-projected sources.
 
-    TPU-native deflation: thick-restart Lanczos on the HPD even-odd
-    MdagM (replacing ARPACK on the full op, SURVEY.md §7 hard-part 5);
-    the exact contribution uses M⁻¹ = M†(M†M)⁻¹ restricted to the
-    deflation space, reconstructed to the full lattice through the Schur
-    machinery."""
+    TPU-native deflation: thick-restart Lanczos on the hermitian MdagM
+    — the SAME operator the reference's ARPACK loop applies
+    (QKXTM_Deflation::ApplyMdagM, lib/qudaQKXTM_Deflation_Kepler.cpp:189,
+    arpack loop :1058: MdagM in both even-odd and isFullOp modes).
+    full_op=False deflates the even-odd MdagM (isFullOp=false);
+    full_op=True deflates the FULL-operator MdagM on full-lattice
+    fields (isFullOp=true, the wExact production mode, driver
+    interface_quda.cpp:7636), with the exact low-mode contribution
+    M⁻¹ ≈ Σ M†v λ⁻¹ v† and fully-projected stochastic remainder."""
     from quda_qkxtm_multigrid_tpu.physics import loops as lp
     from quda_qkxtm_multigrid_tpu.solvers.eigen import (
         lanczos, deflate_guess, project_out)
@@ -422,15 +426,27 @@ def run_loops_wexact(u, geom: Geometry, kappa: float, mu: float, csw: float,
                        geom)
     plain = lp.plain_wilson_partner(d)
 
-    # deflation space of the PC normal operator
-    b0 = fields.zeros_spinor(geom, dtype=u.dtype)[0]
-    eig = lanczos(d.matpc_dagm, b0, nev=nev, ncv=ncv, tol=lanczos_tol,
-                  key=key)
+    if full_op:
+        b0_full = fields.zeros_spinor(geom, dtype=u.dtype)
+        eig = lanczos(d.mdagm, b0_full, nev=nev, ncv=ncv, tol=lanczos_tol,
+                      key=key)
+    else:
+        # deflation space of the PC normal operator
+        b0 = fields.zeros_spinor(geom, dtype=u.dtype)[0]
+        eig = lanczos(d.matpc_dagm, b0, nev=nev, ncv=ncv, tol=lanczos_tol,
+                      key=key)
 
     # exact low-mode contribution: for each mode, the solution of
     # M x = v_full with v the mode embedded through prepare/reconstruct:
     # x_pc = matpc† v / λ reconstructed — contributions accumulated with
     # the same one-end contraction as the stochastic part
+    @jax.jit
+    def exact_mode_full(d_arg, plain_arg, vec, lam):
+        # v eigenvector of full MdagM: M^-1 v = M^dag (MdagM)^-1 v
+        #                                    = (M^dag v) / lam
+        x_full = d_arg.mdag(vec) / lam.astype(vec.dtype)
+        return lp.one_end_trick(x_full, plain_arg, geom)
+
     @jax.jit
     def exact_mode(d_arg, plain_arg, vec, lam):
         x_pc = d_arg.matpc(vec, dagger=True) / lam.astype(vec.dtype)
@@ -442,18 +458,26 @@ def run_loops_wexact(u, geom: Geometry, kappa: float, mu: float, csw: float,
         return lp.one_end_trick(x_full, plain_arg, geom)
 
     acc = None
+    mode_fn = exact_mode_full if full_op else exact_mode
     for i in range(nev):
-        res = exact_mode(d, plain, eig.evecs[i], eig.evals[i])
+        res = mode_fn(d, plain, eig.evecs[i], eig.evals[i])
         acc = res if acc is None else _tree_add(acc, res)
 
     # stochastic remainder with projected sources
     @jax.jit
     def one_sample(d_arg, plain_arg, evals, evecs, key):
+        from quda_qkxtm_multigrid_tpu.solvers.cg import cg
         xi = z4_source(key, geom, dtype=u.dtype)
+        if full_op:
+            # project the source against the deflation space BEFORE the
+            # solve (reference projectVector, interface_quda.cpp:7969)
+            xi_p = project_out(evecs, xi)
+            rhs = d_arg.mdag(xi_p)
+            sol = cg(d_arg.mdagm, rhs, tol=tol, maxiter=maxiter)
+            return lp.one_end_trick(sol.x, plain_arg, geom)
         src = d_arg.prepare(xi)
         src = project_out(evecs, src)
         x0 = deflate_guess(evecs, evals, d_arg.matpc(src, dagger=True))
-        from quda_qkxtm_multigrid_tpu.solvers.cg import cg
         rhs = d_arg.matpc(src, dagger=True)
         sol = cg(d_arg.matpc_dagm, rhs, x0=x0, tol=tol, maxiter=maxiter)
         x = d_arg.reconstruct(sol.x, xi)

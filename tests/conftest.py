@@ -31,3 +31,10 @@ def _clear_jax_caches_per_module():
     yield
     import jax
     jax.clear_caches()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-pipeline tests (solves at tight tol in c128 on CPU); "
+        "deselect with -m 'not slow' for the smoke tier")

@@ -19,6 +19,8 @@ from quda_qkxtm_multigrid_tpu.ops.smear import (
     ape_smear, gaussian_smear, covdev_apply)
 from quda_qkxtm_multigrid_tpu.utils import rng
 
+pytestmark = pytest.mark.slow  # full-pipeline tier; smoke: -m 'not slow'
+
 GEOM = Geometry(4, 4, 4, 8)
 
 

@@ -13,6 +13,8 @@ from quda_qkxtm_multigrid_tpu.physics import loops as lp
 from quda_qkxtm_multigrid_tpu.invert import invert
 from quda_qkxtm_multigrid_tpu.utils import rng
 
+pytestmark = pytest.mark.slow  # full-pipeline tier; smoke: -m 'not slow'
+
 GEOM = Geometry(4, 4, 4, 4)
 
 

@@ -21,6 +21,8 @@ from quda_qkxtm_multigrid_tpu.lattice import Geometry
 from quda_qkxtm_multigrid_tpu import workflows as wf
 from quda_qkxtm_multigrid_tpu.utils import rng
 
+pytestmark = pytest.mark.slow  # full-pipeline tier; smoke: -m 'not slow'
+
 GEOM = Geometry(4, 4, 4, 8)
 GOLDEN = os.path.join(os.path.dirname(__file__), "oracles",
                       "golden_contractions.npz")

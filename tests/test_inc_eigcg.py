@@ -3,6 +3,7 @@ incrementalEigQuda, quda.h:682): the accumulated deflation space must
 cut CG iterations across an RHS sequence."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -10,6 +11,8 @@ from quda_qkxtm_multigrid_tpu.lattice import Geometry
 from quda_qkxtm_multigrid_tpu.dirac import DiracParams, make_dirac
 from quda_qkxtm_multigrid_tpu.solvers.inc_eigcg import IncEigCG
 from quda_qkxtm_multigrid_tpu.utils import rng
+
+pytestmark = pytest.mark.slow  # full-pipeline tier; smoke: -m 'not slow'
 
 GEOM = Geometry(4, 4, 4, 8)
 

@@ -12,6 +12,8 @@ from quda_qkxtm_multigrid_tpu.lattice import Geometry
 from quda_qkxtm_multigrid_tpu.ops import domain_wall as dw
 from quda_qkxtm_multigrid_tpu.utils import rng
 
+pytestmark = pytest.mark.slow  # full-pipeline tier; smoke: -m 'not slow'
+
 GEOM = Geometry(4, 4, 4, 8)
 LS = 8
 MFERM = 0.1

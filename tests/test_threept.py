@@ -13,6 +13,8 @@ from quda_qkxtm_multigrid_tpu.physics import threept as tp
 from quda_qkxtm_multigrid_tpu.physics.contract import _EPS, _G13, corr_to_lex
 from quda_qkxtm_multigrid_tpu.utils import rng
 
+pytestmark = pytest.mark.slow  # full-pipeline tier; smoke: -m 'not slow'
+
 GEOM = Geometry(4, 4, 4, 8)
 
 

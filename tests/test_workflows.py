@@ -11,6 +11,8 @@ from quda_qkxtm_multigrid_tpu import workflows as wf
 from quda_qkxtm_multigrid_tpu.physics import threept as tp
 from quda_qkxtm_multigrid_tpu.utils import rng
 
+pytestmark = pytest.mark.slow  # full-pipeline tier; smoke: -m 'not slow'
+
 GEOM = Geometry(4, 4, 4, 8)
 
 
