@@ -193,12 +193,13 @@ def _random_spinor(key, geom, dtype):
 
 @partial(jax.jit, static_argnames=("geom", "n", "dtype"))
 def _random_spinor_batch(key, geom, n, dtype):
-    """n random sources stacked INSIDE one jit program — an eager
-    jnp.stack of complex fields is an unsupported op on the axon TPU
-    backend (surfaces as a deferred UNIMPLEMENTED at the next fetch)."""
-    ks = jax.random.split(key, n)
-    return jax.vmap(
-        lambda k: _rng.random_spinor(k, geom, dtype=dtype))(ks)
+    """n random sources drawn as ONE [n, ...] normal inside one jit
+    program.  Neither an eager jnp.stack of complex fields nor a
+    vmap'd per-key generation survives the axon TPU backend (both
+    surface as deferred UNIMPLEMENTED at the next fetch); a single
+    batched draw does."""
+    return _rng.random_spinor(key, geom, dtype=dtype,
+                              batch_shape=(n,))
 
 
 @jax.jit

@@ -500,11 +500,17 @@ def dslash_ch_auto(g_ch, psi_ch, parity: int, geom: Geometry,
             # by the dedicated slab interpret test).
             tb = 1
         else:
-            tb = pick_slab_tb(geom, kw.get("recon12", False),
-                              kw.get("bf16", False),
-                              kw.get("clover") is not None,
-                              kw.get("xpay_coef") is not None,
-                              recon8=kw.get("recon8", False))
+            args = (geom, kw.get("recon12", False), kw.get("bf16", False),
+                    kw.get("clover") is not None,
+                    kw.get("xpay_coef") is not None)
+            r8 = kw.get("recon8", False)
+            # persisted empirical tune first (utils/tunecache.tune_slab,
+            # the tunecache.tsv analogue), analytic VMEM model otherwise
+            from quda_qkxtm_multigrid_tpu.utils.tunecache import (
+                cached_slab_tb)
+            tb = cached_slab_tb(*args, recon8=r8)
+            if tb is None:
+                tb = pick_slab_tb(*args, recon8=r8)
     if tb and tb > 1:
         return dslash_ch_pallas5_slab(g_ch, psi_ch, parity, geom, tb=tb,
                                       **kw)

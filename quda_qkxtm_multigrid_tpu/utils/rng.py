@@ -19,11 +19,14 @@ def _real_dtype(dtype):
 
 
 def random_spinor(key, geom, dtype=jnp.complex128, nspin=4, ncolor=3,
-                  parity_split=True):
-    """Gaussian random color-spinor field [2,4,3,T,Z,W] — the analogue of
-    cpuColorSpinorField::Source(QUDA_RANDOM_SOURCE)."""
+                  parity_split=True, batch_shape=()):
+    """Gaussian random color-spinor field [*batch, 2, 4, 3, T, Z, W] —
+    the analogue of cpuColorSpinorField::Source(QUDA_RANDOM_SOURCE).
+    batch_shape prepends axes drawn in the SAME normal call (batched
+    draws, not vmap — vmap'd generation is unsupported on some
+    backends)."""
     lead = (2,) if parity_split else ()
-    shape = lead + (nspin, ncolor) + geom.lat_shape
+    shape = tuple(batch_shape) + lead + (nspin, ncolor) + geom.lat_shape
     kr, ki = jax.random.split(key)
     rdt = _real_dtype(dtype)
     re = jax.random.normal(kr, shape, dtype=rdt)
