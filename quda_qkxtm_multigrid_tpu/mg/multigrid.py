@@ -56,6 +56,17 @@ class MGParams:
     # level >= 2 (n_level <= QUDA_MAX_MG_LEVEL = 4, quda_constants.h:44)
     n_level: int = 2
     block2: tuple = (2, 2, 2, 2)      # aggregation of the coarse lattice
+    # ETMC coarse-twist rescaling knobs (reference quda.h:401-407,
+    # threaded in CalcMG_2pt3pt_EvenOdd.cpp:360-363): MULTIPLICATIVE
+    # factors, *_coarse scales the operator the coarse level is built
+    # from (delta_muCG..., lib/multigrid.cpp:166), *_pr scales the
+    # smoother operator (delta_muPR..., interface_quda.cpp:2207).
+    delta_mu_coarse: float = 1.0
+    delta_kappa_coarse: float = 1.0
+    delta_csw_coarse: float = 1.0
+    delta_mu_pr: float = 1.0
+    delta_kappa_pr: float = 1.0
+    delta_csw_pr: float = 1.0
     nvec2: int = 24
     coarse2_nkrylov: int = 8          # bottom-level GCR cycle length
     setup2_tol: float = 1e-4
@@ -63,7 +74,8 @@ class MGParams:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["transfer", "coarse", "dirac", "transfer2", "coarse2"],
+         data_fields=["transfer", "coarse", "dirac", "transfer2", "coarse2",
+                      "dirac_pr"],
          meta_fields=["params"])
 @dataclasses.dataclass(frozen=True)
 class MGPreconditioner:
@@ -73,6 +85,12 @@ class MGPreconditioner:
     params: MGParams
     transfer2: Optional[Any] = None   # CoarseTransfer (3-level runs)
     coarse2: Optional[CoarseOperator] = None
+    dirac_pr: Optional[Dirac] = None  # delta-scaled smoother operator
+    # (delta_*PR knobs); None = smooth with the outer operator
+
+    @property
+    def _dirac_smooth(self):
+        return self.dirac if self.dirac_pr is None else self.dirac_pr
 
     def _coarse_vcycle(self, r1):
         """Level-1 V-cycle over the coarse operator, correcting through
@@ -103,9 +121,9 @@ class MGPreconditioner:
         prepare/reconstruct (reference smoother_solve_type,
         QUDA_DIRECT_PC_SOLVE in the production executables)."""
         p = self.params
+        d = self._dirac_smooth
         if not p.smoother_pc:
-            return mr(self.dirac.m, r, niter=niter, omega=p.omega)
-        d = self.dirac
+            return mr(d.m, r, niter=niter, omega=p.omega)
         src = d.prepare(r)
         x_p = mr(d.matpc, src, niter=niter, omega=p.omega)
         return d.reconstruct(x_p, r)
@@ -263,6 +281,20 @@ def generate_null_vectors(dirac: Dirac, bg: BlockGeometry, key,
     return _ortho_blocked(vs, bg)
 
 
+def _delta_scaled(dirac: Dirac, dmu: float, dkappa: float, dcsw: float):
+    """Rebuild the operator with scaled (mu, kappa, csw) — clover term
+    regenerated to keep A consistent (the reference reaches the same
+    point by creating the internal Dirac from a scaled param copy)."""
+    if dmu == 1.0 and dkappa == 1.0 and dcsw == 1.0:
+        return dirac
+    from quda_qkxtm_multigrid_tpu.dirac import make_dirac
+    p = dirac.params
+    newp = dataclasses.replace(
+        p, mu=p.mu * dmu, kappa=p.kappa * dkappa, csw=p.csw * dcsw)
+    return jax.jit(lambda u: make_dirac(u, newp, dirac.geom),
+                   static_argnames=())(dirac.u)
+
+
 def setup_mg(dirac: Dirac, params: MGParams, key,
              null_vectors=None) -> MGPreconditioner:
     """Build the MG preconditioner (reference MG::MG,
@@ -275,14 +307,21 @@ def setup_mg(dirac: Dirac, params: MGParams, key,
     else:
         v = _ortho_blocked(list(null_vectors), bg)
     transfer = Transfer(v=v, bg=bg)
-    coarse = _build_level1(transfer, dirac)
+    d_coarse_src = _delta_scaled(dirac, params.delta_mu_coarse,
+                                 params.delta_kappa_coarse,
+                                 params.delta_csw_coarse)
+    coarse = _build_level1(transfer, d_coarse_src)
 
     transfer2 = coarse2 = None
     if params.n_level >= 3:
         transfer2, coarse2 = setup_coarse_level(coarse, params, key)
+    dirac_pr = _delta_scaled(dirac, params.delta_mu_pr,
+                             params.delta_kappa_pr, params.delta_csw_pr)
     return MGPreconditioner(transfer=transfer, coarse=coarse, dirac=dirac,
                             params=params, transfer2=transfer2,
-                            coarse2=coarse2)
+                            coarse2=coarse2,
+                            dirac_pr=None if dirac_pr is dirac
+                            else dirac_pr)
 
 
 def setup_mg_pair(dirac_up: Dirac, dirac_dn: Dirac, params: MGParams,
@@ -300,13 +339,19 @@ def setup_mg_pair(dirac_up: Dirac, dirac_dn: Dirac, params: MGParams,
     transfer = Transfer(v=v, bg=bg)
     mgs = []
     for d in (dirac_up, dirac_dn):
-        coarse = _build_level1(transfer, d)
+        d_src = _delta_scaled(d, params.delta_mu_coarse,
+                              params.delta_kappa_coarse,
+                              params.delta_csw_coarse)
+        coarse = _build_level1(transfer, d_src)
         transfer2 = coarse2 = None
         if params.n_level >= 3:
             transfer2, coarse2 = setup_coarse_level(coarse, params, key)
+        d_pr = _delta_scaled(d, params.delta_mu_pr, params.delta_kappa_pr,
+                             params.delta_csw_pr)
         mgs.append(MGPreconditioner(
             transfer=transfer, coarse=coarse, dirac=d, params=params,
-            transfer2=transfer2, coarse2=coarse2))
+            transfer2=transfer2, coarse2=coarse2,
+            dirac_pr=None if d_pr is d else d_pr))
     return tuple(mgs)
 
 

@@ -164,3 +164,55 @@ class TestMGSolve:
         out_full = mg_solve(mg_full, b, tol=1e-8, n_krylov=10,
                             max_restarts=30)
         assert int(out.iters) <= int(out_full.iters) + 2
+
+
+def test_delta_mu_coarse_exact_shift():
+    """The delta_mu coarse-twist knob (reference quda.h:401-407,
+    multigrid.cpp:166): the coarse diagonal X built from the mu-scaled
+    operator must differ from the unscaled one by EXACTLY
+    i 2kappa (mu'-mu) gamma5_c (chirality-compatible blocking maps the
+    fine twist term to the coarse gamma5)."""
+    import dataclasses as _dc
+    from quda_qkxtm_multigrid_tpu.mg.multigrid import (
+        MGParams, setup_mg, _build_level1, _delta_scaled)
+    from quda_qkxtm_multigrid_tpu.mg.transfer import (
+        BlockGeometry, Transfer)
+    u = rng.random_gauge(jax.random.PRNGKey(11), GEOM)
+    kappa, mu = 0.12, 0.05
+    d = make_dirac(u, DiracParams(kind="twisted-mass", kappa=kappa,
+                                  mu=mu), GEOM)
+    params = MGParams(block=(2, 2, 2, 2), nvec=4, setup_tol=1e-3,
+                      setup_maxiter=80)
+    mg = setup_mg(d, params, jax.random.PRNGKey(1))
+    delta = 1.5
+    d_scaled = _delta_scaled(d, delta, 1.0, 1.0)
+    coarse2 = _build_level1(mg.transfer, d_scaled)
+    dof = mg.coarse.bg.coarse_dof
+    nv = dof // 2
+    diff = np.asarray(coarse2.x - mg.coarse.x)
+    shift = 2j * kappa * mu * (delta - 1.0)
+    expect = np.zeros((dof, dof), complex)
+    expect[np.arange(nv), np.arange(nv)] = shift
+    expect[np.arange(nv, dof), np.arange(nv, dof)] = -shift
+    expect = expect.reshape(dof, dof, 1, 1, 1, 1)
+    np.testing.assert_allclose(diff, np.broadcast_to(diff * 0 + expect,
+                                                     diff.shape),
+                               atol=1e-10)
+
+
+def test_delta_knobs_solve():
+    """MG with modest PR/coarse deltas still solves the TRUE operator."""
+    from quda_qkxtm_multigrid_tpu.mg.multigrid import (
+        MGParams, setup_mg, mg_solve)
+    u = rng.random_gauge(jax.random.PRNGKey(12), GEOM)
+    b = rng.random_spinor(jax.random.PRNGKey(13), GEOM)
+    d = make_dirac(u, DiracParams(kind="twisted-mass", kappa=0.12,
+                                  mu=0.05), GEOM)
+    params = MGParams(block=(2, 2, 2, 2), nvec=6, setup_tol=1e-4,
+                      setup_maxiter=150, nu_post=4,
+                      delta_mu_coarse=1.4, delta_mu_pr=1.1)
+    mg = setup_mg(d, params, jax.random.PRNGKey(2))
+    out = mg_solve(mg, b, tol=1e-8, max_restarts=40)
+    r = b - d.m(out.x)
+    rel = float(jnp.linalg.norm(r.ravel()) / jnp.linalg.norm(b.ravel()))
+    assert rel < 1e-7, rel
