@@ -43,6 +43,47 @@ def _common(p):
                    default="single")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--output", type=str, default="out")
+    # MG flags (reference names where they exist: multigrid_invert_test
+    # --mg-* family, CalcMG executables' delta knobs quda.h:401-407)
+    p.add_argument("--mg", action="store_true",
+                   help="solve with MG-preconditioned GCR")
+    p.add_argument("--mg-block", type=str, default="4,4,4,4")
+    p.add_argument("--mg-nvec", type=int, default=24)
+    p.add_argument("--mg-levels", type=int, default=2)
+    p.add_argument("--mg-setup-tol", type=float, default=5e-6)
+    p.add_argument("--mg-setup-maxiter", type=int, default=500)
+    p.add_argument("--mg-nu-pre", type=int, default=0)
+    p.add_argument("--mg-nu-post", type=int, default=4)
+    p.add_argument("--delta-muPR", dest="delta_mu_pr", type=float,
+                   default=1.0)
+    p.add_argument("--delta-kappaPR", dest="delta_kappa_pr", type=float,
+                   default=1.0)
+    p.add_argument("--delta-cswPR", dest="delta_csw_pr", type=float,
+                   default=1.0)
+    p.add_argument("--delta-muCG", dest="delta_mu_coarse", type=float,
+                   default=1.0)
+    p.add_argument("--delta-kappaCG", dest="delta_kappa_coarse",
+                   type=float, default=1.0)
+    p.add_argument("--delta-cswCG", dest="delta_csw_coarse", type=float,
+                   default=1.0)
+
+
+def _mg_params(args):
+    if not args.mg:
+        return None
+    from quda_qkxtm_multigrid_tpu.mg.multigrid import MGParams
+    bx, by, bz, bt = (int(v) for v in args.mg_block.split(","))
+    return MGParams(block=(bx, by, bz, bt), nvec=args.mg_nvec,
+                    n_level=args.mg_levels, setup_tol=args.mg_setup_tol,
+                    setup_maxiter=args.mg_setup_maxiter,
+                    nu_pre=args.mg_nu_pre, nu_post=args.mg_nu_post,
+                    smoother_pc=True,
+                    delta_mu_pr=args.delta_mu_pr,
+                    delta_kappa_pr=args.delta_kappa_pr,
+                    delta_csw_pr=args.delta_csw_pr,
+                    delta_mu_coarse=args.delta_mu_coarse,
+                    delta_kappa_coarse=args.delta_kappa_coarse,
+                    delta_csw_coarse=args.delta_csw_coarse)
 
 
 def _load_gauge(args, geom, dtype):
@@ -104,7 +145,8 @@ def main(argv=None):
                           source=src, q_sq_max=args.q_sq,
                           ape_alpha=args.alphaAPE, ape_n=args.nsmearAPE,
                           gauss_alpha=args.alphaGauss, gauss_n=args.nsmearGauss,
-                          tol=args.tol, maxiter=args.maxiter, verbose=True)
+                          tol=args.tol, maxiter=args.maxiter, verbose=True,
+                          mg_params=_mg_params(args))
         try:
             from quda_qkxtm_multigrid_tpu.io import hdf5 as h5w
             h5w.write_twop_mesons_hdf5(f"{args.output}_mesons.h5",
@@ -126,7 +168,8 @@ def main(argv=None):
                            ape_alpha=args.alphaAPE, ape_n=args.nsmearAPE,
                            gauss_alpha=args.alphaGauss,
                            gauss_n=args.nsmearGauss,
-                           tol=args.tol, maxiter=args.maxiter, verbose=True)
+                           tol=args.tol, maxiter=args.maxiter, verbose=True,
+                           mg_params=_mg_params(args))
         res = wf.run_threep(u, geom, args.kappa, args.mu, args.csw,
                             prop_up=out2["prop_up"], prop_dn=out2["prop_dn"],
                             u_ape=out2["u_ape"], tsink=args.tsink, source=src,
@@ -134,7 +177,8 @@ def main(argv=None):
                             q_sq_max=args.q_sq,
                             gauss_alpha=args.alphaGauss,
                             gauss_n=args.nsmearGauss,
-                            tol=args.tol, maxiter=args.maxiter)
+                            tol=args.tol, maxiter=args.maxiter,
+                            mg_pair=out2["mg_pair"])
         from quda_qkxtm_multigrid_tpu.io import hdf5 as h5w
         for proj, parts in res["thrp"].items():
             for part, types in parts.items():

@@ -112,8 +112,11 @@ def invert_msrc(dirac: Dirac, bs, tol: float = 1e-10,
     (dslash_ch_pallas5_msrc); otherwise the matvec is a vmap."""
     from quda_qkxtm_multigrid_tpu.solvers.msrc import msrc_cg
 
-    src = jax.vmap(dirac.prepare)(bs)
-    rhs = jax.vmap(lambda s: dirac.matpc(s, dagger=True))(src)
+    # once-per-solve stages run SEQUENTIALLY over the batch (lax.map):
+    # vmapping the full-operator chains materialises per-RHS halo
+    # temporaries for the whole batch at once (~4 GB/RHS at 32^3x64)
+    src = jax.lax.map(dirac.prepare, bs)
+    rhs = jax.lax.map(lambda s: dirac.matpc(s, dagger=True), src)
 
     if _fused_tm(dirac):
         from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
@@ -131,8 +134,8 @@ def invert_msrc(dirac: Dirac, bs, tol: float = 1e-10,
         res = msrc_cg(jax.vmap(dirac.matpc_dagm), rhs, tol=tol,
                       maxiter=maxiter)
         x_p = res.x
-    x = jax.vmap(dirac.reconstruct)(x_p, bs)
-    r = bs - jax.vmap(dirac.m)(x)
+    x = jax.lax.map(lambda a: dirac.reconstruct(a[0], a[1]), (x_p, bs))
+    r = bs - jax.lax.map(dirac.m, x)
     # Per-source relative residuals (reference invertMultiSrcQuda
     # reports per-source true_res); report the WORST column so a badly
     # converged source cannot hide inside the batch norm.

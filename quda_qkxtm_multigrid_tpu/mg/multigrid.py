@@ -239,7 +239,7 @@ def _build_level1(transfer, dirac):
 
 
 def generate_null_vectors(dirac: Dirac, bg: BlockGeometry, key,
-                          params: MGParams, batch: int = 8):
+                          params: MGParams, batch: int | None = None):
     """Near-kernel vectors: loose inverse iteration on random sources
     (reference MG::generateNullVectors, lib/multigrid.cpp — BiCGstab to
     setup_tol), then block-orthonormalisation.
@@ -251,6 +251,12 @@ def generate_null_vectors(dirac: Dirac, bg: BlockGeometry, key,
     rate instead of nvec sequential solves.  batch=8 bounds HBM
     (~0.6 GB of channel-layout solver state per RHS at 32³×64)."""
     keys = jax.random.split(key, bg.nvec)
+    if batch is None:
+        # HBM-gated MRHS width: one msrc RHS costs ~4 GB of solver
+        # state + vmap'd full-operator temps at 32³×64 (measured: batch
+        # 8 compiles to 36.5 GB there), so scale the batch with volume
+        v = dirac.geom.volume
+        batch = 8 if v <= 600_000 else (2 if v <= 2_200_000 else 1)
     if getattr(dirac, "_has_fused_matpc", False):
         from quda_qkxtm_multigrid_tpu.invert import invert_msrc
 
