@@ -77,8 +77,9 @@ def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
             _to_channels, _from_channels)
 
         def matvec_ch(v_ch):
-            return dirac._fused_matpc_ch(dirac._fused_matpc_ch(v_ch, False),
-                                         True)
+            # 4-kernel fused normal operator with the dagger pre-apply
+            # emitted by the forward half (post_op second output)
+            return dirac._fused_matpc_dagm_ch(v_ch)
 
         rhs_ch = _to_channels(rhs).astype(jnp.float32)
         res_ch = cg(matvec_ch, rhs_ch, tol=tol, maxiter=maxiter)

@@ -30,7 +30,7 @@ from quda_qkxtm_multigrid_tpu.ops.dslash_pallas2 import _proj_rank2
 def _plane_body(geom: Geometry, dagger: bool, parity: int,
                 recon12: bool, bf16: bool, twist, xpay_coef, clover,
                 t_idx, ld_c, ld_tp, ld_tm, ld_g, ld_cinv, ld_x, store,
-                recon8: bool = False):
+                recon8: bool = False, post_op=None, store2=None):
     """One output t-plane of the fused Wilson-type stencil, abstracted
     over HOW channel planes are loaded/stored so both the per-plane (v5)
     and slab-blocked grids share one body.  ld_* : channel-index →
@@ -248,6 +248,7 @@ def _plane_body(geom: Geometry, dagger: bool, parity: int,
                 ti = pi_ if ti is None else ti + pi_
             new.append([tr, ti])
         res = new
+    final = []
     for kk in range(12):
         re, im = res[kk]
         if twist is not None:
@@ -257,14 +258,43 @@ def _plane_body(geom: Geometry, dagger: bool, parity: int,
         if xpay_coef is not None:
             re = ld_x(2 * kk) + xpay_coef * re
             im = ld_x(2 * kk + 1) + xpay_coef * im
+        final.append((re, im))
         store(2 * kk, re)
         store(2 * kk + 1, im)
+    if post_op is not None and store2 is not None:
+        # SECOND output: the A⁻¹†-transformed final result — fuses the
+        # leading pre-apply of a following dagger matpc into this
+        # kernel (matpc_dagm chains), saving the standalone
+        # _ch_clover_apply / _ch_twist HBM pass (~10% of matpc_dagm).
+        if post_op[0] == "clover":
+            def cmd(h, r, c, ri):          # cinv dagger (conj transp.)
+                return ld_cinv(((h * 6 + c) * 6 + r) * 2 + ri)
+            for kk in range(12):
+                h, r = kk // 6, kk % 6
+                tr = ti = None
+                for c in range(6):
+                    vr, vi = final[h * 6 + c]
+                    mr, mi = cmd(h, r, c, 0), -cmd(h, r, c, 1)
+                    pr_ = mr * vr - mi * vi
+                    pi_ = mr * vi + mi * vr
+                    tr = pr_ if tr is None else tr + pr_
+                    ti = pi_ if ti is None else ti + pi_
+                store2(2 * kk, tr)
+                store2(2 * kk + 1, ti)
+        else:                               # ("twist", a, b)
+            _, ta, tb = post_op
+            for kk in range(12):
+                re, im = final[kk]
+                g5s = 1.0 if kk < 6 else -1.0
+                store2(2 * kk, tb * (re - (ta * g5s) * im))
+                store2(2 * kk + 1, tb * (im + (ta * g5s) * re))
 
 
 def _kernel_v5(geom: Geometry, dagger: bool, parity: int,
                recon12: bool, bf16: bool,
                twist: tuple | None = None, xpay_coef: float | None = None,
-               clover: str | None = None, recon8: bool = False):
+               clover: str | None = None, recon8: bool = False,
+               post_op=None):
     """Per-t-plane grid: one output plane per step, t± neighbours as
     separate plane operands (see _plane_body for the epilogue zoo)."""
 
@@ -281,6 +311,7 @@ def _kernel_v5(geom: Geometry, dagger: bool, parity: int,
             x_ref = refs[pos]
             pos += 1
         out_ref = refs[pos]
+        out2_ref = refs[pos + 1] if post_op is not None else None
 
         def _mk(ref):
             if ref is None:
@@ -292,11 +323,16 @@ def _kernel_v5(geom: Geometry, dagger: bool, parity: int,
         def store(idx, val):
             out_ref[0, idx] = val
 
+        def store2(idx, val):
+            out2_ref[0, idx] = val
+
         _plane_body(geom, dagger, parity, recon12, bf16, twist, xpay_coef,
                     clover, pl.program_id(0), _mk(psi_c), _mk(psi_tp),
                     _mk(psi_tm), _mk(g_ref), _mk(cinv_ref),
                     (lambda idx: x_ref[0, idx].astype(jnp.float32))
-                    if x_ref is not None else None, store, recon8=recon8)
+                    if x_ref is not None else None, store, recon8=recon8,
+                    post_op=post_op,
+                    store2=store2 if post_op is not None else None)
 
     return kernel
 
@@ -304,7 +340,8 @@ def _kernel_v5(geom: Geometry, dagger: bool, parity: int,
 def _kernel_slab(geom: Geometry, dagger: bool, parity: int,
                  recon12: bool, bf16: bool, tb: int,
                  twist: tuple | None = None, xpay_coef: float | None = None,
-                 clover: str | None = None, recon8: bool = False):
+                 clover: str | None = None, recon8: bool = False,
+                 post_op=None):
     """Slab grid: each step computes tb output planes from a
     (tb, ch, Z, W) slab plus ONE halo plane on each t side.  Interior
     t-hops stay inside the slab, so psi center traffic drops from 3
@@ -325,6 +362,7 @@ def _kernel_slab(geom: Geometry, dagger: bool, parity: int,
             x_ref = refs[pos]
             pos += 1
         out_ref = refs[pos]
+        out2_ref = refs[pos + 1] if post_op is not None else None
         t_base = pl.program_id(0) * tb
 
         def _mk(ref, row):
@@ -341,12 +379,17 @@ def _kernel_slab(geom: Geometry, dagger: bool, parity: int,
             def store(idx, val, tt=tt):
                 out_ref[tt, idx] = val
 
+            def store2(idx, val, tt=tt):
+                out2_ref[tt, idx] = val
+
             _plane_body(
                 geom, dagger, parity, recon12, bf16, twist, xpay_coef,
                 clover, t_base + tt, _mk(psi_s, tt), ld_tp, ld_tm,
                 _mk(g_ref, tt), _mk(cinv_ref, tt),
                 (lambda idx, tt=tt: x_ref[tt, idx].astype(jnp.float32))
-                if x_ref is not None else None, store, recon8=recon8)
+                if x_ref is not None else None, store, recon8=recon8,
+                post_op=post_op,
+                store2=store2 if post_op is not None else None)
 
     return kernel
 
@@ -357,7 +400,7 @@ def dslash_ch_pallas5(g_ch, psi_ch, parity: int, geom: Geometry,
                       twist: tuple | None = None,
                       xpay_coef: float | None = None, x_ch=None,
                       clover: str | None = None, cinv_ch=None,
-                      recon8: bool = False):
+                      recon8: bool = False, post_op=None):
     """Channel-domain v5: psi_ch/g_ch/x_ch already in planar-channel
     layout ([T, 24, Z, W] / [T, 96|144, Z, W]), output [T, 24, Z, W]
     f32.  Solver hot loops stay in this layout end-to-end — the
@@ -368,7 +411,7 @@ def dslash_ch_pallas5(g_ch, psi_ch, parity: int, geom: Geometry,
     ng = 64 if recon8 else (96 if recon12 else 144)
 
     kernel = _kernel_v5(geom, dagger, parity, recon12, bf16, twist,
-                        xpay_coef, clover, recon8=recon8)
+                        xpay_coef, clover, recon8=recon8, post_op=post_op)
     pspec = lambda im: pl.BlockSpec((1, 24, Z, W), im,
                                     memory_space=pltpu.VMEM)
     ins = [psi_ch, psi_ch, psi_ch, g_ch]
@@ -385,13 +428,15 @@ def dslash_ch_pallas5(g_ch, psi_ch, parity: int, geom: Geometry,
     if xpay_coef is not None:
         ins.append(x_ch)
         in_specs.append(pspec(lambda i: (i, 0, 0, 0)))
+    ospec = pl.BlockSpec((1, 24, Z, W), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((T, 24, Z, W), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 24, Z, W), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, 24, Z, W), jnp.float32),
+        out_specs=(ospec, ospec) if post_op is not None else ospec,
+        out_shape=(oshape, oshape) if post_op is not None else oshape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
@@ -404,7 +449,8 @@ def dslash_ch_pallas5_slab(g_ch, psi_ch, parity: int, geom: Geometry,
                            twist: tuple | None = None,
                            xpay_coef: float | None = None, x_ch=None,
                            clover: str | None = None, cinv_ch=None,
-                           tb: int = 4, recon8: bool = False):
+                           tb: int = 4, recon8: bool = False,
+                           post_op=None):
     """Slab-blocked v5 (same semantics/operands as dslash_ch_pallas5):
     grid of T/tb steps, each computing a (tb, 24, Z, W) output slab from
     the matching psi/gauge/clover slabs plus ONE t-halo plane per side.
@@ -419,7 +465,8 @@ def dslash_ch_pallas5_slab(g_ch, psi_ch, parity: int, geom: Geometry,
     nslab = T // tb
 
     kernel = _kernel_slab(geom, dagger, parity, recon12, bf16, tb, twist,
-                          xpay_coef, clover, recon8=recon8)
+                          xpay_coef, clover, recon8=recon8,
+                          post_op=post_op)
     plane = lambda im: pl.BlockSpec((1, 24, Z, W), im,
                                     memory_space=pltpu.VMEM)
     slab = lambda nch: pl.BlockSpec((tb, nch, Z, W), lambda i: (i, 0, 0, 0),
@@ -435,12 +482,13 @@ def dslash_ch_pallas5_slab(g_ch, psi_ch, parity: int, geom: Geometry,
     if xpay_coef is not None:
         ins.append(x_ch)
         in_specs.append(slab(24))
+    oshape = jax.ShapeDtypeStruct((T, 24, Z, W), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=(nslab,),
         in_specs=in_specs,
-        out_specs=slab(24),
-        out_shape=jax.ShapeDtypeStruct((T, 24, Z, W), jnp.float32),
+        out_specs=(slab(24), slab(24)) if post_op is not None else slab(24),
+        out_shape=(oshape, oshape) if post_op is not None else oshape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,

@@ -272,3 +272,28 @@ def test_fused_matpc_shmap(fields, kind):
         d_f._fused_matpc_ch_shmap(ch, mesh, interpret=True), (4, 3))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("kind,mu,csw", [("twisted-mass", 0.05, 0.0),
+                                         ("twisted-clover", 0.05, 1.0)])
+def test_fused_matpc_dagm(fields, kind, mu, csw):
+    """4-kernel fused matpc†·matpc (the dagger pre-apply emitted as the
+    forward half's second output, post_op epilogue) == XLA
+    matpc(matpc(), dagger)."""
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
+        _to_channels, _from_channels)
+    from quda_qkxtm_multigrid_tpu.dirac import DiracParams, make_dirac
+    import dataclasses as _dc
+    u, ud, psi = fields
+    d = make_dirac(u.astype(jnp.complex64),
+                   DiracParams(kind=kind, kappa=0.115, mu=mu, csw=csw),
+                   GEOM)
+    d_f = _dc.replace(d, u_doubled=ud,
+                      params=_dc.replace(d.params, use_pallas=True))
+    ref = d.matpc(d.matpc(psi[0]), dagger=True)
+    ch = _to_channels(psi[0]).astype(jnp.float32)
+    got = _from_channels(d_f._fused_matpc_dagm_ch(ch, interpret=True),
+                         (4, 3))
+    rel = float(jnp.linalg.norm((got - ref).ravel())
+                / jnp.linalg.norm(ref.ravel()))
+    assert rel < 2e-5, rel
