@@ -1,0 +1,215 @@
+"""Compact channel-storage operator bundle for HBM-limited volumes.
+
+At 48³×96 the canonical complex64 bundle (gauge + doubled gauge +
+clover pair ≈ 12 GB before any solver state) exceeds a single chip's
+HBM.  The fused solve path only ever reads the planar-channel operands
+(gauge recon-12 [T,96,Z,W], chiral clover blocks [T,144,Z,W]), which in
+bf16 total ~8 GB at 48³×96 — so a CompactDirac stores ONLY those, built
+on the host CPU backend (125 GB RAM) and transferred once, the analogue
+of the reference's sloppy-resident gauge whose half-precision copies
+are what the solver actually touches (reference loadSloppyGaugeQuda,
+interface_quda.cpp:1039).
+
+The whole solve — prepare, CG on the normal operator, reconstruct,
+true residual — is composed from the fused channel kernels + the
+channel-domain clover/twist helpers; no complex64 full-lattice field of
+the gauge/clover sector ever exists on device.
+
+Full-operator residuals use the identity (symmetric even-odd
+preconditioning)
+    r = b − M x  with  M_pp = A_p, M_po = −κ D_po
+evaluated per parity with one dslash-with-xpay kernel + one clover
+apply per parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from quda_qkxtm_multigrid_tpu.lattice import Geometry
+from quda_qkxtm_multigrid_tpu.dirac import (
+    DiracParams, _ch_clover_apply, _ch_twist)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["g_ch", "cinv_ch", "cl_ch"],
+         meta_fields=["params", "geom"])
+@dataclasses.dataclass(frozen=True)
+class CompactDirac:
+    """Channel-operand bundle: g_ch/cinv_ch/cl_ch are (even, odd)
+    tuples of [T, ch, Z, W] arrays (bf16 or f32)."""
+
+    g_ch: Any
+    cinv_ch: Any
+    cl_ch: Any
+    params: DiracParams
+    geom: Geometry
+
+    # ---- fused hot path (same chain as Dirac._fused_matpc_*_ch) ----
+    def _v5(self, parity, psi_ch, **kw):
+        from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+            dslash_ch_auto)
+        p = self.params
+        return dslash_ch_auto(self.g_ch[parity], psi_ch, parity,
+                              self.geom, recon12=True,
+                              bf16=(self.g_ch[0].dtype == jnp.bfloat16),
+                              interpret=kw.pop("interpret", False), **kw)
+
+    def matpc_ch(self, psi_ch, dagger: bool = False,
+                 interpret: bool = False):
+        p = self.params
+        pr, k = p.matpc_parity, p.kappa
+        kw = dict(interpret=interpret)
+        if p.has_clover:
+            ci_p, ci_o = self.cinv_ch[pr], self.cinv_ch[1 - pr]
+            if not dagger:
+                t = self._v5(1 - pr, psi_ch, clover="fwd", cinv_ch=ci_o,
+                             **kw)
+                return self._v5(pr, t, clover="fwd", cinv_ch=ci_p,
+                                xpay_coef=-(k * k), x_ch=psi_ch, **kw)
+            t = _ch_clover_apply(psi_ch, ci_p, dag=True)
+            t = self._v5(1 - pr, t, dagger=True, clover="dag",
+                         cinv_ch=ci_o, **kw)
+            return self._v5(pr, t, dagger=True, xpay_coef=-(k * k),
+                            x_ch=psi_ch, **kw)
+        a = 2.0 * p.kappa * p.mu * p.flavor
+        if dagger:
+            a = -a
+        tw = (-a, 1.0 / (1.0 + a * a))
+        if not dagger:
+            t = self._v5(1 - pr, psi_ch, twist=tw, **kw)
+            return self._v5(pr, t, twist=tw, xpay_coef=-(k * k),
+                            x_ch=psi_ch, **kw)
+        t = _ch_twist(psi_ch, tw[0], tw[1])
+        t = self._v5(1 - pr, t, dagger=True, twist=tw, **kw)
+        return self._v5(pr, t, dagger=True, xpay_coef=-(k * k),
+                        x_ch=psi_ch, **kw)
+
+    def matpc_dagm_ch(self, psi_ch, interpret: bool = False):
+        return self.matpc_ch(self.matpc_ch(psi_ch, False, interpret),
+                             True, interpret)
+
+    # ---- diagonal A / A^-1 in channel domain -----------------------
+    def _a_apply_ch(self, v_ch, parity, interpret=False):
+        p = self.params
+        if p.has_clover:
+            out = _ch_clover_apply(v_ch, self.cl_ch[parity])
+            if p.has_twist:
+                a = 2.0 * p.kappa * p.mu * p.flavor
+                out = out + (_ch_twist(v_ch, a, 1.0) - v_ch)
+            return out
+        if p.has_twist:
+            a = 2.0 * p.kappa * p.mu * p.flavor
+            return _ch_twist(v_ch, a, 1.0)
+        return v_ch
+
+    def _a_inv_ch(self, v_ch, parity):
+        p = self.params
+        if p.has_clover:
+            return _ch_clover_apply(v_ch, self.cinv_ch[parity])
+        if p.has_twist:
+            a = 2.0 * p.kappa * p.mu * p.flavor
+            return _ch_twist(v_ch, -a, 1.0 / (1.0 + a * a))
+        return v_ch
+
+    # ---- Schur prepare / reconstruct / residual --------------------
+    def prepare_ch(self, b_e, b_o, interpret: bool = False):
+        """(b_e, b_o) channel fields → PC source on parity pr
+        (symmetric Schur prepare, see dirac.py docstring)."""
+        p = self.params
+        pr = p.matpc_parity
+        bp = b_e if pr == 0 else b_o
+        bo = b_o if pr == 0 else b_e
+        t = self._a_inv_ch(bo, 1 - pr)
+        t = self._v5(pr, t, xpay_coef=p.kappa, x_ch=bp,
+                     interpret=interpret)
+        return self._a_inv_ch(t, pr)
+
+    def reconstruct_ch(self, x_p, b_e, b_o, interpret: bool = False):
+        """PC solution → (x_e, x_o) channel fields."""
+        p = self.params
+        pr = p.matpc_parity
+        bo = b_o if pr == 0 else b_e
+        t = self._v5(1 - pr, x_p, xpay_coef=p.kappa, x_ch=bo,
+                     interpret=interpret)
+        x_o = self._a_inv_ch(t, 1 - pr)
+        return (x_p, x_o) if pr == 0 else (x_o, x_p)
+
+    def m_ch(self, x_e, x_o, interpret: bool = False):
+        """Full operator per parity: M x|_p = A_p x_p − κ D_{p,1-p}
+        x_{1-p} — one xpay dslash (x = A_p x_p, coef = −κ) per parity."""
+        k = self.params.kappa
+        out_e = self._v5(0, x_o, xpay_coef=-k,
+                         x_ch=self._a_apply_ch(x_e, 0),
+                         interpret=interpret)
+        out_o = self._v5(1, x_e, xpay_coef=-k,
+                         x_ch=self._a_apply_ch(x_o, 1),
+                         interpret=interpret)
+        return out_e, out_o
+
+
+def make_compact(u, params: DiracParams, geom: Geometry,
+                 bf16: bool = True, host: bool = False) -> CompactDirac:
+    """Build the channel bundle from a gauge field.
+
+    host=True stages the c64 construction (clover from Fμν, gauge
+    doubling, channel packing) on the CPU backend — required at volumes
+    where the intermediate c64 fields exceed device HBM (48³×96) — and
+    device_puts only the compact operands."""
+    from quda_qkxtm_multigrid_tpu.dirac import make_dirac
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+        gauge_channels, clover_channels)
+    from quda_qkxtm_multigrid_tpu.ops import dslash as _dsl
+
+    params = dataclasses.replace(params, use_pallas=True,
+                                 pallas_bf16=bf16)
+
+    def build(u):
+        d = make_dirac(u, params, geom)
+        ud = d.u_doubled if d.u_doubled is not None else _dsl.double_gauge(
+            u, geom)
+        g = tuple(gauge_channels(ud, p_, True, bf16) for p_ in (0, 1))
+        if params.has_clover:
+            ci = tuple(clover_channels(d.clover_inv, p_, bf16)
+                       for p_ in (0, 1))
+            cl = tuple(clover_channels(d.clover, p_, bf16)
+                       for p_ in (0, 1))
+        else:
+            ci = cl = (None, None)
+        return g, ci, cl
+
+    if host:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            g, ci, cl = jax.jit(build)(jax.device_put(u, cpu))
+            jax.block_until_ready(g)
+        dev = jax.devices()[0]
+        put = lambda t: tuple(None if a is None else jax.device_put(a, dev)
+                              for a in t)
+        g, ci, cl = put(g), put(ci), put(cl)
+    else:
+        g, ci, cl = jax.jit(build)(u)
+    return CompactDirac(g_ch=g, cinv_ch=ci, cl_ch=cl, params=params,
+                        geom=geom)
+
+
+def invert_compact(cd: CompactDirac, b_e, b_o, tol: float = 1e-7,
+                   maxiter: int = 2000, interpret: bool = False):
+    """CG solve of M x = b entirely in channel storage; returns
+    ((x_e, x_o), iters, per-parity residual fields).  The caller holds
+    b as channel fields (e.g. from a host-staged source)."""
+    from quda_qkxtm_multigrid_tpu.solvers.cg import cg
+
+    src = cd.prepare_ch(b_e, b_o, interpret)
+    rhs = cd.matpc_ch(src, dagger=True, interpret=interpret)
+    res = cg(lambda v: cd.matpc_dagm_ch(v, interpret), rhs, tol=tol,
+             maxiter=maxiter)
+    x_e, x_o = cd.reconstruct_ch(res.x, b_e, b_o, interpret)
+    m_e, m_o = cd.m_ch(x_e, x_o, interpret)
+    r_e, r_o = b_e - m_e, b_o - m_o
+    return (x_e, x_o), res.iters, (r_e, r_o)

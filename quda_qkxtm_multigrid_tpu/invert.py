@@ -101,7 +101,8 @@ def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
     x = dirac.reconstruct(res.x, b)
     r = b - dirac.m(x)
     true_res = jnp.sqrt(jnp.real(jnp.vdot(r, r)) / jnp.real(jnp.vdot(b, b)))
-    return InvertResult(x, res.iters, true_res)
+    from quda_qkxtm_multigrid_tpu.utils.guards import maybe_guard
+    return InvertResult(maybe_guard(x, "invert.x"), res.iters, true_res)
 
 
 def invert_msrc(dirac: Dirac, bs, tol: float = 1e-10,

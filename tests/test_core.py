@@ -188,3 +188,14 @@ def test_verbosity_stack(capsys):
         print_params(DiracParams(kind="wilson", kappa=0.12))
     out = capsys.readouterr().out
     assert "kappa = 0.12" in out
+
+
+def test_nan_guards():
+    import pytest as _pt
+    import jax.numpy as jnp
+    from quda_qkxtm_multigrid_tpu.utils.guards import assert_finite
+    assert_finite({"a": jnp.ones(4), "b": jnp.ones(3) + 1j}, "ok")
+    with _pt.raises(FloatingPointError):
+        assert_finite({"a": jnp.asarray([1.0, jnp.nan])}, "bad")
+    with _pt.raises(FloatingPointError):
+        assert_finite(jnp.asarray([1.0 + 1j * jnp.inf]), "badc")
