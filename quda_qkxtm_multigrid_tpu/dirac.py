@@ -205,7 +205,7 @@ class Dirac:
         source axis (dslash_ch_pallas5_msrc) — the MRHS amortisation of
         SURVEY.md §2.10.4."""
         from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
-            dslash_ch_pallas5_msrc as v5m, gauge_channels, clover_channels)
+            dslash_ch_msrc_auto as v5m, gauge_channels, clover_channels)
         p = self.params
         pr, k = p.matpc_parity, p.kappa
         bf = p.pallas_bf16
@@ -288,7 +288,8 @@ class Dirac:
                     xpay_coef=-(k * k), x_ch=m, **kw)
 
     def _fused_matpc_ch_shmap(self, psi_ch, mesh, dagger: bool = False,
-                              interpret: bool | None = None):
+                              interpret: bool | None = None,
+                              overlap: bool = False):
         """Multi-chip fused matpc: the WHOLE Schur chain (two fused
         dslash kernels + epilogues) runs inside one shard_map over the
         't' mesh axis — per application the only comms are two ppermute
@@ -297,11 +298,19 @@ class Dirac:
         (lib/dslash_policy.cuh).  z/w axes must be 1 (the full-Z kernel
         keeps z/x/y hops on-chip); psi_ch is the t-sharded channel field
         [T, 24, Z, W].  Requires even local T so the in-kernel
-        checkerboard masks stay valid on every shard."""
+        checkerboard masks stay valid on every shard.
+
+        overlap=True uses the interior/exterior-SPLIT kernels
+        (dslash_ch_pallas5_overlap_local): per hop the face ppermute and
+        the (T_loc−2)-plane interior kernel have NO data dependence, so
+        the XLA scheduler can run the ICI transfer concurrently with the
+        interior compute — the explicit TPU form of the reference's
+        policy-engine overlap (lib/dslash_policy.cuh:148-299)."""
         from jax.sharding import PartitionSpec as P
         from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
-            dslash_ch_pallas5_local as v5l, _t_extend, gauge_channels,
-            clover_channels)
+            dslash_ch_pallas5_local as v5l,
+            dslash_ch_pallas5_overlap_local as v5o,
+            _t_extend, _t_faces, gauge_channels, clover_channels)
         from quda_qkxtm_multigrid_tpu.lattice import Geometry as _Geom
 
         if interpret is None:
@@ -331,30 +340,44 @@ class Dirac:
             tw = (-a, 1.0 / (1.0 + a * a))
 
         def local(psi_l, g_p_l, g_o_l, ci_p_l, ci_o_l):
-            ext = _t_extend(psi_l, nt)
+            if overlap:
+                # spin-project the faces before the ppermute (half the
+                # ICI bytes) whenever the split form is in play
+                proj = geom_l.T > 2
+
+                def ds(g_l, x, pr_l, dag=False, clv=None, ci=None,
+                       tw_=None, xp=None, xc=None):
+                    fm, fp = _t_faces(x, nt, project=proj, dagger=dag)
+                    return v5o(g_l, x, fm, fp, pr_l, geom_l, dagger=dag,
+                               clover=clv, cinv_ch=ci, twist=tw_,
+                               xpay_coef=xp, x_ch=xc,
+                               faces_projected=proj, **kw)
+            else:
+                def ds(g_l, x, pr_l, dag=False, clv=None, ci=None,
+                       tw_=None, xp=None, xc=None):
+                    xce = None
+                    if xc is not None:
+                        # xpay only reads rows 1..T of the extended
+                        # operand — pad, don't permute
+                        zrow = jnp.zeros_like(xc[:1])
+                        xce = jnp.concatenate([zrow, xc, zrow], axis=0)
+                    return v5l(g_l, _t_extend(x, nt), pr_l, geom_l,
+                               dagger=dag, clover=clv, cinv_ch=ci,
+                               twist=tw_, xpay_coef=xp, x_ch=xce, **kw)
             if p.has_clover:
                 if not dagger:
-                    t = v5l(g_o_l, ext, 1 - pr, geom_l, clover="fwd",
-                            cinv_ch=ci_o_l, **kw)
-                    ext2 = _t_extend(t, nt)
-                    return v5l(g_p_l, ext2, pr, geom_l, clover="fwd",
-                               cinv_ch=ci_p_l, xpay_coef=-(k * k),
-                               x_ch=ext, **kw)
+                    t = ds(g_o_l, psi_l, 1 - pr, clv="fwd", ci=ci_o_l)
+                    return ds(g_p_l, t, pr, clv="fwd", ci=ci_p_l,
+                              xp=-(k * k), xc=psi_l)
                 t0 = _ch_clover_apply(psi_l, ci_p_l, dag=True)
-                t = v5l(g_o_l, _t_extend(t0, nt), 1 - pr, geom_l,
-                        dagger=True, clover="dag", cinv_ch=ci_o_l, **kw)
-                return v5l(g_p_l, _t_extend(t, nt), pr, geom_l,
-                           dagger=True, xpay_coef=-(k * k), x_ch=ext,
-                           **kw)
+                t = ds(g_o_l, t0, 1 - pr, dag=True, clv="dag", ci=ci_o_l)
+                return ds(g_p_l, t, pr, dag=True, xp=-(k * k), xc=psi_l)
             if not dagger:
-                t = v5l(g_o_l, ext, 1 - pr, geom_l, twist=tw, **kw)
-                return v5l(g_p_l, _t_extend(t, nt), pr, geom_l,
-                           twist=tw, xpay_coef=-(k * k), x_ch=ext, **kw)
+                t = ds(g_o_l, psi_l, 1 - pr, tw_=tw)
+                return ds(g_p_l, t, pr, tw_=tw, xp=-(k * k), xc=psi_l)
             t0 = _ch_twist(psi_l, tw[0], tw[1])
-            t = v5l(g_o_l, _t_extend(t0, nt), 1 - pr, geom_l,
-                    dagger=True, twist=tw, **kw)
-            return v5l(g_p_l, _t_extend(t, nt), pr, geom_l, dagger=True,
-                       xpay_coef=-(k * k), x_ch=ext, **kw)
+            t = ds(g_o_l, t0, 1 - pr, dag=True, tw_=tw)
+            return ds(g_p_l, t, pr, dag=True, xp=-(k * k), xc=psi_l)
 
         spec = P("t", None, None, None)
         if p.has_clover:

@@ -32,7 +32,8 @@ def _fused_tm(dirac: Dirac) -> bool:
 
 def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
            solver: str = "cg", sloppy_dirac: Dirac | None = None,
-           inner_tol: float = 1e-2, mesh=None) -> InvertResult:
+           inner_tol: float = 1e-2, mesh=None,
+           overlap: bool | None = None) -> InvertResult:
     """Solve M x = b via CG on the even-odd preconditioned normal
     equations M_pc† M_pc x_p = M_pc† src (QUDA_NORMOP_PC_SOLVE).
 
@@ -45,11 +46,22 @@ def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
     MULTI-CHIP fused matpc (Dirac._fused_matpc_ch_shmap — two t-face
     ppermute pairs per application); prepare/reconstruct and the final
     true-residual run on the auto-partitioned XLA path (once per
-    solve)."""
+    solve).
+
+    overlap: use the interior/exterior-split kernels with
+    spin-projected faces for the sharded matpc (the reference's policy
+    choice, dslash_policy.cuh); None consults the persisted policy
+    tunecache (tune_matpc_policy) and defaults to the single-kernel
+    form if never tuned."""
     if mesh is not None and solver == "cg" and _fused_tm(dirac):
         import dataclasses as _dc
         from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
             _to_channels, _from_channels)
+
+        if overlap is None:
+            from quda_qkxtm_multigrid_tpu.utils.tunecache import (
+                cached_matpc_policy)
+            overlap = bool(cached_matpc_policy(dirac, mesh))
 
         d_xla = _dc.replace(dirac, params=_dc.replace(
             dirac.params, use_pallas=False))
@@ -57,8 +69,10 @@ def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
         rhs = d_xla.matpc(src, dagger=True)
 
         def matvec_ch(v_ch):
-            t = dirac._fused_matpc_ch_shmap(v_ch, mesh, False)
-            return dirac._fused_matpc_ch_shmap(t, mesh, True)
+            t = dirac._fused_matpc_ch_shmap(v_ch, mesh, False,
+                                            overlap=overlap)
+            return dirac._fused_matpc_ch_shmap(t, mesh, True,
+                                               overlap=overlap)
 
         rhs_ch = _to_channels(rhs).astype(jnp.float32)
         res_ch = cg(matvec_ch, rhs_ch, tol=tol, maxiter=maxiter)

@@ -30,7 +30,8 @@ from quda_qkxtm_multigrid_tpu.ops.dslash_pallas2 import _proj_rank2
 def _plane_body(geom: Geometry, dagger: bool, parity: int,
                 recon12: bool, bf16: bool, twist, xpay_coef, clover,
                 t_idx, ld_c, ld_tp, ld_tm, ld_g, ld_cinv, ld_x, store,
-                recon8: bool = False, post_op=None, store2=None):
+                recon8: bool = False, post_op=None, store2=None,
+                tp_proj: bool = False, tm_proj: bool = False):
     """One output t-plane of the fused Wilson-type stencil, abstracted
     over HOW channel planes are loaded/stored so both the per-plane (v5)
     and slab-blocked grids share one body.  ld_* : channel-index →
@@ -180,18 +181,27 @@ def _plane_body(geom: Geometry, dagger: bool, parity: int,
         for fb, (fwd, plus) in enumerate(((True, dagger),
                                           (False, not dagger))):
             upper, recon = _proj_rank2(mu, plus)
-            nb = [[(neighbor(mu, fwd, tt, c, 0),
-                    neighbor(mu, fwd, tt, c, 1))
-                   for c in range(3)] for tt in range(4)]
-            h = [[None, None, None] for _ in range(2)]
-            for s in (0, 1):
-                for (tt, coef) in upper[s]:
-                    for c in range(3):
-                        term = cmul_const(coef.real, coef.imag,
-                                          *nb[tt][c])
-                        cur = h[s][c]
-                        h[s][c] = term if cur is None else (
-                            cur[0] + term[0], cur[1] + term[1])
+            if mu == 3 and (tp_proj if fwd else tm_proj):
+                # t-face arrives PRE-PROJECTED (12 channels, idx
+                # (s*3+c)*2+ri) — the sender applied 1±γ4 before the
+                # ppermute (the reference's spin-projected face pack,
+                # halving comm bytes; lib/dslash_pack.cuh semantics)
+                ldf = ld_tp if fwd else ld_tm
+                h = [[(ldf((s * 3 + c) * 2), ldf((s * 3 + c) * 2 + 1))
+                      for c in range(3)] for s in range(2)]
+            else:
+                nb = [[(neighbor(mu, fwd, tt, c, 0),
+                        neighbor(mu, fwd, tt, c, 1))
+                       for c in range(3)] for tt in range(4)]
+                h = [[None, None, None] for _ in range(2)]
+                for s in (0, 1):
+                    for (tt, coef) in upper[s]:
+                        for c in range(3):
+                            term = cmul_const(coef.real, coef.imag,
+                                              *nb[tt][c])
+                            cur = h[s][c]
+                            h[s][c] = term if cur is None else (
+                                cur[0] + term[0], cur[1] + term[1])
             uh = [[None, None, None] for _ in range(2)]
             for s in (0, 1):
                 for a in range(3):
@@ -638,6 +648,147 @@ def dslash_ch_pallas5_local(g_ch, psi_ext_ch, parity: int,
     )(*ins)
 
 
+def dslash_ch_pallas5_overlap_local(g_ch, psi_ch, face_m, face_p,
+                                    parity: int, geom_local: Geometry,
+                                    dagger: bool = False,
+                                    interpret: bool = False,
+                                    recon12: bool = False,
+                                    bf16: bool = False,
+                                    twist: tuple | None = None,
+                                    xpay_coef: float | None = None,
+                                    x_ch=None, clover: str | None = None,
+                                    cinv_ch=None,
+                                    faces_projected: bool = False):
+    """Interior/exterior-SPLIT local dslash — the TPU form of the
+    reference dslash policy engine's overlap structure
+    (lib/dslash_policy.cuh:148-299: interior kernel ‖ comms ‖ per-dim
+    exterior kernels).
+
+    The interior kernel (t rows 1..T-2) depends only on the LOCAL
+    psi_ch, not on the ppermute'd faces — so under shard_map XLA's
+    scheduler is free to run the face collective concurrently with it;
+    the two 1-plane edge kernels consume the arrived faces afterwards.
+    Contrast dslash_ch_pallas5_local, whose single kernel reads the
+    t-extended array and therefore serialises after the collective."""
+    T, Z, W = geom_local.T, geom_local.Z, geom_local.W
+    ng = 96 if recon12 else 144
+    if T <= 2:
+        if faces_projected:
+            raise ValueError("projected faces need T_loc > 2 "
+                             "(no interior/edge split at T_loc<=2)")
+        # no interior rows — degenerate to the t-extended single kernel
+        ext = jnp.concatenate([face_m, psi_ch, face_p], axis=0)
+        xp = None
+        if xpay_coef is not None:
+            zrow = jnp.zeros_like(x_ch[:1])
+            xp = jnp.concatenate([zrow, x_ch, zrow], axis=0)
+        return dslash_ch_pallas5_local(
+            g_ch, ext, parity, geom_local, dagger=dagger,
+            interpret=interpret, recon12=recon12, bf16=bf16, twist=twist,
+            xpay_coef=xpay_coef, x_ch=xp, clover=clover, cinv_ch=cinv_ch)
+
+    # ---- interior rows 1..T-2 (grid T-2, out rows offset by 1) -----
+    pspec = lambda im: pl.BlockSpec((1, 24, Z, W), im,
+                                    memory_space=pltpu.VMEM)
+    ins = [psi_ch, psi_ch, psi_ch, g_ch]
+    in_specs = [pspec(lambda i: (i + 1, 0, 0, 0)),
+                pspec(lambda i: (i + 2, 0, 0, 0)),
+                pspec(lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, ng, Z, W), lambda i: (i + 1, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if clover is not None:
+        ins.append(cinv_ch)
+        in_specs.append(pl.BlockSpec((1, 144, Z, W),
+                                     lambda i: (i + 1, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    if xpay_coef is not None:
+        ins.append(x_ch)
+        in_specs.append(pspec(lambda i: (i + 1, 0, 0, 0)))
+    # NOTE: the interior kernel computes t_idx = program_id(0), i.e.
+    # rows 0..T-3, while it WRITES rows 1..T-2; compensate the
+    # checkerboard phase by passing parity flipped by one t unit.
+    kernel_i = _kernel_v5(geom_local, dagger, (parity + 1) % 2, recon12,
+                          bf16, twist, xpay_coef, clover)
+    interior = pl.pallas_call(
+        kernel_i,
+        grid=(T - 2,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 24, Z, W), lambda i: (i + 1, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, 24, Z, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(*ins)
+
+    # ---- edge rows (two 1-plane kernels consuming the faces) -------
+    def edge(row, tm_arr, tm_row, tp_arr, tp_row,
+             tm_proj=False, tp_proj=False):
+        # _kernel_v5 takes the t phase from program_id(0), but a grid-(1,)
+        # edge call needs the TRUE row phase — inline a kernel with the
+        # static row as t_idx instead:
+        def kern2(*refs):
+            refs = list(refs)
+            psi_c, psi_tp, psi_tm, g_ref = refs[:4]
+            pos = 4
+            cinv_ref = None
+            if clover is not None:
+                cinv_ref = refs[pos]; pos += 1
+            x_ref = None
+            if xpay_coef is not None:
+                x_ref = refs[pos]; pos += 1
+            out_ref = refs[pos]
+
+            def _mk(ref):
+                if ref is None:
+                    return None
+                if bf16:
+                    return lambda idx: ref[0, idx].astype(jnp.float32)
+                return lambda idx: ref[0, idx]
+
+            def store(idx, val):
+                out_ref[0, idx] = val
+
+            _plane_body(geom_local, dagger, parity, recon12, bf16,
+                        twist, xpay_coef, clover, row, _mk(psi_c),
+                        _mk(psi_tp), _mk(psi_tm), _mk(g_ref),
+                        _mk(cinv_ref),
+                        (lambda idx: x_ref[0, idx].astype(jnp.float32))
+                        if x_ref is not None else None, store,
+                        tp_proj=tp_proj, tm_proj=tm_proj)
+
+        one = lambda arr, r: pl.BlockSpec((1,) + arr.shape[1:],
+                                          lambda i, r=r: (r,) + (0,) * (arr.ndim - 1),
+                                          memory_space=pltpu.VMEM)
+        e_ins = [psi_ch, tp_arr, tm_arr, g_ch]
+        e_specs = [one(psi_ch, row), one(tp_arr, tp_row),
+                   one(tm_arr, tm_row), one(g_ch, row)]
+        if clover is not None:
+            e_ins.append(cinv_ch)
+            e_specs.append(one(cinv_ch, row))
+        if xpay_coef is not None:
+            e_ins.append(x_ch)
+            e_specs.append(one(x_ch, row))
+        return pl.pallas_call(
+            kern2,
+            grid=(1,),
+            in_specs=e_specs,
+            out_specs=pl.BlockSpec((1, 24, Z, W),
+                                   lambda i: (0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 24, Z, W), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024),
+            interpret=interpret,
+        )(*e_ins)
+
+    edge0 = edge(0, face_m, 0, psi_ch, 1, tm_proj=faces_projected)
+    edgeT = edge(T - 1, psi_ch, T - 2, face_p, 0,
+                 tp_proj=faces_projected)
+    out = interior.at[0:1].set(edge0)
+    return out.at[T - 1:T].set(edgeT)
+
+
 def dslash_ch_pallas5_msrc(g_ch, psi_ch_b, parity: int, geom: Geometry,
                            dagger: bool = False, interpret: bool = False,
                            recon12: bool = False, bf16: bool = False,
@@ -691,6 +842,90 @@ def dslash_ch_pallas5_msrc(g_ch, psi_ch_b, parity: int, geom: Geometry,
     return out.reshape(n, T, 24, Z, W)
 
 
+def dslash_ch_pallas5_msrc_slab(g_ch, psi_ch_b, parity: int,
+                                geom: Geometry, dagger: bool = False,
+                                interpret: bool = False,
+                                recon12: bool = False, bf16: bool = False,
+                                twist: tuple | None = None,
+                                xpay_coef: float | None = None,
+                                x_ch_b=None, clover: str | None = None,
+                                cinv_ch=None, tb: int = 4,
+                                recon8: bool = False):
+    """Multi-RHS slab kernel: grid (T/tb, n_src) with the source axis
+    innermost — combines the msrc gauge/clover amortisation (operand
+    index maps don't move across the inner source steps, so Pallas
+    revisits the resident VMEM block instead of re-fetching) with the
+    slab psi-reuse (3 → (tb+2)/tb fetches per plane).  Since msrc
+    already amortises the gauge bytes by n_src, psi traffic DOMINATES
+    the msrc byte budget — the slab cut applies to exactly the
+    dominant term, compounding the two reuse axes (reference analogue:
+    the MRHS dslash of the multi-RHS literature; SURVEY §2.10.4)."""
+    n = psi_ch_b.shape[0]
+    T, Z, W = geom.T, geom.Z, geom.W
+    if T % tb:
+        raise ValueError(f"T={T} not divisible by slab tb={tb}")
+    ng = 64 if recon8 else (96 if recon12 else 144)
+    nslab = T // tb
+    psi_flat = psi_ch_b.reshape(n * T, 24, Z, W)
+
+    kernel = _kernel_slab(geom, dagger, parity, recon12, bf16, tb, twist,
+                          xpay_coef, clover, recon8=recon8)
+    plane = lambda im: pl.BlockSpec((1, 24, Z, W), im,
+                                    memory_space=pltpu.VMEM)
+    slab_s = lambda nch: pl.BlockSpec(
+        (tb, nch, Z, W), lambda i, s: (s * nslab + i, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    slab_g = lambda nch: pl.BlockSpec(
+        (tb, nch, Z, W), lambda i, s: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    ins = [psi_flat, psi_flat, psi_flat, g_ch]
+    in_specs = [slab_s(24),
+                plane(lambda i, s: (s * T + (i * tb + tb) % T, 0, 0, 0)),
+                plane(lambda i, s: (s * T + (i * tb - 1) % T, 0, 0, 0)),
+                slab_g(ng)]
+    if clover is not None:
+        ins.append(cinv_ch)
+        in_specs.append(slab_g(144))
+    if xpay_coef is not None:
+        ins.append(x_ch_b.reshape(n * T, 24, Z, W))
+        in_specs.append(slab_s(24))
+    out = pl.pallas_call(
+        kernel,
+        grid=(nslab, n),
+        in_specs=in_specs,
+        out_specs=slab_s(24),
+        out_shape=jax.ShapeDtypeStruct((n * T, 24, Z, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(*ins)
+    return out.reshape(n, T, 24, Z, W)
+
+
+def dslash_ch_msrc_auto(g_ch, psi_ch_b, parity: int, geom: Geometry,
+                        tb: int | None = None, **kw):
+    """Production multi-RHS dispatch: slab msrc grid when the geometry
+    gate says the working set fits VMEM, per-plane msrc otherwise
+    (mirrors dslash_ch_auto; the per-step operands are identical to the
+    single-RHS slab so the same VMEM model applies)."""
+    if tb is None:
+        if kw.get("interpret"):
+            # interpret-mode cost scales with the tb-unrolled op count;
+            # equality slab==per-plane is asserted by the dedicated
+            # interpret test
+            tb = 0
+        else:
+            tb = pick_slab_tb(geom, kw.get("recon12", False),
+                              kw.get("bf16", False),
+                              kw.get("clover") is not None,
+                              kw.get("xpay_coef") is not None,
+                              recon8=kw.get("recon8", False))
+    if tb and tb > 1:
+        return dslash_ch_pallas5_msrc_slab(g_ch, psi_ch_b, parity, geom,
+                                           tb=tb, **kw)
+    return dslash_ch_pallas5_msrc(g_ch, psi_ch_b, parity, geom, **kw)
+
+
 def _t_extend(psi_ch, nt: int):
     """Attach t-halo rows by ppermute over the "t" mesh axis (inside
     shard_map): [T_loc, ...] → [T_loc+2, ...]."""
@@ -702,6 +937,54 @@ def _t_extend(psi_ch, nt: int):
     else:
         tp_face, tm_face = psi_ch[:1], psi_ch[-1:]
     return jnp.concatenate([tm_face, psi_ch, tp_face], axis=0)
+
+
+def _project_face(plane, plus: bool):
+    """Spin-project a 24-channel t-face plane to the 12-channel
+    2-spinor of 1±γ4 (channel idx (s*3+c)*2+ri, s∈{0,1}) — applied
+    BEFORE the ppermute so the ICI transfer carries half the bytes
+    (the reference's spin-projected ghost pack, lib/dslash_pack.cuh /
+    include/color_spinor.h projection)."""
+    upper, _ = _proj_rank2(3, plus)
+    outs = []
+    for s in range(2):
+        for c in range(3):
+            re = im = None
+            for (tt, coef) in upper[s]:
+                vr = plane[:, (tt * 3 + c) * 2]
+                vi = plane[:, (tt * 3 + c) * 2 + 1]
+                tr = coef.real * vr - coef.imag * vi
+                ti = coef.real * vi + coef.imag * vr
+                re = tr if re is None else re + tr
+                im = ti if im is None else im + ti
+            outs += [re, im]
+    return jnp.stack(outs, axis=1)
+
+
+def _t_faces(psi_ch, nt: int, project: bool = False,
+             dagger: bool = False):
+    """The two t-halo planes by ppermute over the "t" mesh axis — the
+    SPLIT form of _t_extend for the overlap kernel: returned as separate
+    arrays so the interior pallas_call has no data dependence on the
+    collective and XLA is free to overlap the ICI transfer with the
+    interior compute (the role of the reference's
+    interior-kernel‖comms stage, lib/dslash_policy.cuh:148-299).
+
+    project=True spin-projects the planes BEFORE the permute (12
+    channels on the wire instead of 24); the receiving hop's projector
+    is fixed by (direction, dagger), so the sender can apply it."""
+    send_p, send_m = psi_ch[:1], psi_ch[-1:]
+    if project:
+        send_p = _project_face(send_p, plus=dagger)
+        send_m = _project_face(send_m, plus=not dagger)
+    if nt > 1:
+        fwd = [(i, (i - 1) % nt) for i in range(nt)]
+        bwd = [(i, (i + 1) % nt) for i in range(nt)]
+        tp_face = jax.lax.ppermute(send_p, "t", fwd)
+        tm_face = jax.lax.ppermute(send_m, "t", bwd)
+    else:
+        tp_face, tm_face = send_p, send_m
+    return tm_face, tp_face
 
 
 def dslash_parity_pallas5_shmap(ud, psi_opp, parity: int, geom: Geometry,

@@ -116,3 +116,81 @@ def tune_slab(geom, recon12=True, bf16=True, clover=False, xpay=False,
     with open(_cache_path(), "w") as f:
         json.dump(cache, f, indent=1, sort_keys=True)
     return winner
+
+
+# ---- multi-chip matpc policy (overlap vs single-kernel) -------------
+#
+# The reference autotunes its dslash POLICY (interior/exterior overlap
+# vs basic, lib/dslash_policy.cuh:1056-1080) the same way it tunes
+# block shapes.  The TPU analogue: under a t-sharded mesh the fused
+# matpc can run either as one kernel over the t-extended block
+# (serialises after the face ppermute) or interior/exterior-split with
+# spin-projected faces (the collective can overlap the interior
+# kernel).  Which wins depends on T_loc and the ICI:HBM ratio — so
+# measure once per (device, geometry, nt, operator) and persist.
+
+def _policy_key(geom, nt, kind, bf16):
+    dev = jax.devices()[0].device_kind if jax.devices() else "cpu"
+    return (f"policy|{dev}|{geom.X}x{geom.Y}x{geom.Z}x{geom.T}"
+            f"|nt={nt}|{kind}|bf16={int(bf16)}")
+
+
+def cached_matpc_policy(dirac, mesh):
+    """Persisted overlap policy for this config: True/False, or None if
+    never tuned."""
+    nt = mesh.shape.get("t", 1)
+    p = dirac.params
+    return _load().get(_policy_key(dirac.geom, nt, p.kind,
+                                   p.pallas_bf16))
+
+
+def tune_matpc_policy(dirac, mesh, reps: int = 2, verbose: bool = False):
+    """Measure overlap=False vs overlap=True for the fused shmap matpc
+    under the given mesh and persist the winner (tuneLaunch analogue
+    for the dslash policy).  Returns the winning overlap flag."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    geom = dirac.geom
+    nt = mesh.shape.get("t", 1)
+    spec = NamedSharding(mesh, P("t", None, None, None))
+    psi = jax.jit(
+        lambda k: jax.random.normal(
+            k, (geom.T, 24, geom.Z, geom.W), jnp.float32),
+        out_shardings=spec)(jax.random.PRNGKey(0))
+
+    def timed(overlap):
+        def chain(n):
+            @jax.jit
+            def f(p):
+                def body(i, v):
+                    return dirac._fused_matpc_ch_shmap(
+                        v, mesh, False, overlap=overlap) * 0.5
+                return jnp.sum(jnp.abs(
+                    jax.lax.fori_loop(0, n, body, p)))
+            return f
+        lo, hi = chain(4), chain(24)
+        float(lo(psi)); float(hi(psi))
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(hi(psi))
+            t1 = time.perf_counter()
+            float(lo(psi))
+            t2 = time.perf_counter()
+            dt = ((t1 - t0) - (t2 - t1)) / 20
+            best = dt if best is None else min(best, dt)
+        return best
+
+    results = {False: timed(False)}
+    if geom.T // nt > 2:
+        results[True] = timed(True)
+    winner = min(results, key=results.get)
+    if verbose:
+        for ov, t in sorted(results.items()):
+            print(f"  overlap={ov}: {t*1e3:.3f} ms")
+    cache = _load()
+    p = dirac.params
+    cache[_policy_key(geom, nt, p.kind, p.pallas_bf16)] = bool(winner)
+    with open(_cache_path(), "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+    return bool(winner)

@@ -17,6 +17,8 @@ from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
     _to_channels, _from_channels)
 from quda_qkxtm_multigrid_tpu.utils import rng
 
+pytestmark = pytest.mark.slow  # interpret-mode CG chains; smoke skips
+
 GEOM = Geometry(8, 4, 4, 8)
 
 

@@ -199,3 +199,29 @@ def test_nan_guards():
         assert_finite({"a": jnp.asarray([1.0, jnp.nan])}, "bad")
     with _pt.raises(FloatingPointError):
         assert_finite(jnp.asarray([1.0 + 1j * jnp.inf]), "badc")
+
+
+def test_policy_tunecache_roundtrip(tmp_path, monkeypatch):
+    """The matpc overlap-policy tunecache persists and reads back per
+    (device, geom, nt, operator) — the dslash_policy autotune cache
+    analogue (reference lib/tune.cpp tunecache.tsv)."""
+    monkeypatch.setenv("QKXTM_RESOURCE_PATH", str(tmp_path))
+    import json as _json
+    from quda_qkxtm_multigrid_tpu.lattice import Geometry
+    from quda_qkxtm_multigrid_tpu.utils import tunecache as tc
+    from quda_qkxtm_multigrid_tpu.dirac import DiracParams, make_dirac
+    from quda_qkxtm_multigrid_tpu.parallel import make_lattice_mesh
+    from quda_qkxtm_multigrid_tpu.utils import rng
+    import jax, jax.numpy as jnp
+
+    geom = Geometry(8, 4, 4, 8)
+    u = rng.random_gauge(jax.random.PRNGKey(0), geom,
+                         dtype=jnp.complex64)
+    d = make_dirac(u, DiracParams(kind="twisted-mass", kappa=0.115,
+                                  mu=0.05), geom)
+    mesh = make_lattice_mesh((2, 1, 1))
+    assert tc.cached_matpc_policy(d, mesh) is None
+    key = tc._policy_key(geom, 2, "twisted-mass", False)
+    with open(tc._cache_path(), "w") as f:
+        _json.dump({key: True}, f)
+    assert tc.cached_matpc_policy(d, mesh) is True

@@ -228,6 +228,31 @@ def test_slab_matches_v5(fields):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
+def test_msrc_slab_matches_msrc(fields):
+    """Multi-RHS slab grid (dslash_ch_pallas5_msrc_slab, source axis
+    innermost + t-slab psi reuse) == the per-plane msrc kernel in
+    interpret mode, covering the flattened [n*T] halo index maps and
+    the source-invariant gauge/clover slab revisiting."""
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import _to_channels
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+        dslash_ch_pallas5_msrc, dslash_ch_pallas5_msrc_slab,
+        gauge_channels)
+    from quda_qkxtm_multigrid_tpu.utils import rng as _rng
+    u, ud, psi = fields
+    n_src = 2
+    keys = jax.random.split(jax.random.PRNGKey(11), n_src)
+    cols = jnp.stack([
+        _to_channels(_rng.random_spinor(k, GEOM, dtype=jnp.complex64)[1])
+        for k in keys]).astype(jnp.float32)
+    g_ch = gauge_channels(ud, 0, True, False)
+    kw = dict(recon12=True, interpret=True, twist=(0.2, 0.8),
+              xpay_coef=-0.4, x_ch_b=cols)
+    ref = dslash_ch_pallas5_msrc(g_ch, cols, 0, GEOM, **kw)
+    got = dslash_ch_pallas5_msrc_slab(g_ch, cols, 0, GEOM, tb=2, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6)
+
+
 def test_recon8_roundtrip(fields):
     """gauge_channels recon-8 encoding + in-kernel _mat8 decode matches
     the recon-12 kernel to f32 roundoff (closed-form derivation check,
@@ -248,11 +273,56 @@ def test_recon8_roundtrip(fields):
     assert rel < 1e-5, rel
 
 
+@pytest.mark.parametrize("epilogue,project", [("plain", False),
+                                              ("plain", True),
+                                              ("twist-xpay", False),
+                                              ("twist-xpay", True),
+                                              ("clover", False)])
+def test_v5_overlap_matches_full(fields, epilogue, project):
+    """Interior/exterior-split kernel (dslash_ch_pallas5_overlap_local)
+    == the single t-extended kernel, faces fed from the periodic wrap
+    (single-shard case).  Covers the interior parity-shift compensation
+    and the static-row edge kernels for every epilogue family."""
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import _to_channels
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+        dslash_ch_pallas5, dslash_ch_pallas5_overlap_local,
+        gauge_channels, clover_channels)
+    u, ud, psi = fields
+    psi_ch = _to_channels(psi[1]).astype(jnp.float32)
+    g_ch = gauge_channels(ud, 0, True, False)
+    kw = dict(recon12=True, interpret=True)
+    if epilogue == "twist-xpay":
+        kw.update(twist=(0.3, 0.9), xpay_coef=-0.5, x_ch=psi_ch)
+    elif epilogue == "clover":
+        from quda_qkxtm_multigrid_tpu.dirac import DiracParams, make_dirac
+        d = make_dirac(u.astype(jnp.complex64),
+                       DiracParams(kind="twisted-clover", kappa=0.115,
+                                   mu=0.05, csw=1.0), GEOM)
+        kw.update(clover="fwd", cinv_ch=clover_channels(d.clover_inv, 0,
+                                                        False))
+    ref = dslash_ch_pallas5(g_ch, psi_ch, 0, GEOM, **kw)
+    fm, fp = psi_ch[-1:], psi_ch[:1]
+    if project:
+        from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+            _project_face)
+        fp = _project_face(fp, plus=False)          # dagger=False hop
+        fm = _project_face(fm, plus=True)
+    got = dslash_ch_pallas5_overlap_local(
+        g_ch, psi_ch, fm, fp, 0, GEOM, faces_projected=project, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)
+
+
 @pytest.mark.parametrize("kind", ["twisted-mass", "twisted-clover"])
-def test_fused_matpc_shmap(fields, kind):
+@pytest.mark.parametrize("overlap,grid", [(False, (2, 1, 1)),
+                                          (True, (2, 1, 1)),
+                                          (True, (4, 1, 1))])
+def test_fused_matpc_shmap(fields, kind, overlap, grid):
     """Multi-chip fused matpc (whole Schur chain inside one shard_map,
     two t-face ppermute pairs per application) bit-matches the XLA
-    matpc on a virtual 2-chip mesh."""
+    matpc on a virtual 2-chip mesh.  overlap=True exercises the
+    interior/exterior-split kernels under shard_map, incl. the
+    T_loc=2 degenerate fallback at grid (4,1,1)."""
     from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
         _to_channels, _from_channels)
     from quda_qkxtm_multigrid_tpu.dirac import DiracParams, make_dirac
@@ -265,11 +335,12 @@ def test_fused_matpc_shmap(fields, kind):
                    GEOM)
     d_f = _dc.replace(d, u_doubled=ud,
                       params=_dc.replace(d.params, use_pallas=True))
-    mesh = make_lattice_mesh((2, 1, 1))
+    mesh = make_lattice_mesh(grid)
     ref = d.matpc(psi[0])
     ch = _to_channels(psi[0]).astype(jnp.float32)
     got = _from_channels(
-        d_f._fused_matpc_ch_shmap(ch, mesh, interpret=True), (4, 3))
+        d_f._fused_matpc_ch_shmap(ch, mesh, interpret=True,
+                                  overlap=overlap), (4, 3))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4)
 
