@@ -68,7 +68,7 @@ def bench_cg(geom, tol: float = 1e-7, maxiter: int = 2000) -> dict:
 
 
 def bench_mg(geom, tol: float = 1e-7, nvec: int = 24,
-             block=(4, 4, 4, 4)) -> dict:
+             block=(4, 4, 4, 4), solver: str = "gcr") -> dict:
     # tol 1e-7: the c64 true-residual floor on this backend is ~3e-8
     # (both the GCR and Richardson outers stall there; the reference
     # reaches deeper only through its double-precision outer)
@@ -88,12 +88,14 @@ def bench_mg(geom, tol: float = 1e-7, nvec: int = 24,
     jax.block_until_ready(mg.coarse.x)
     setup_secs = time.perf_counter() - t0
 
-    out, tel = mg_solve(mg, b, tol=tol, telemetry=True)  # cold
+    out, tel = mg_solve(mg, b, tol=tol, telemetry=True,
+                        solver=solver)                   # cold
     t0 = time.perf_counter()
-    out, tel = mg_solve(mg, b, tol=tol, telemetry=True)  # warm
+    out, tel = mg_solve(mg, b, tol=tol, telemetry=True,
+                        solver=solver)                   # warm
     _, rel = true_residual(d, out.x, b)
     rel = float(rel)
-    return {**tel.as_dict(), "true_res": rel, "solver": "mg-gcr",
+    return {**tel.as_dict(), "true_res": rel, "solver": f"mg-{solver}",
             "setup_secs": round(setup_secs, 2), "nvec": nvec,
             "block": list(block)}
 

@@ -437,6 +437,48 @@ def _gcr_step_sharded(mg, x, r, n_krylov, mesh):
     return x + e
 
 
+@partial(jax.jit, static_argnames=("n_krylov",))
+def _gcr_step_pc(mg, x_p, r_p, n_krylov):
+    """One GCR(n_krylov) cycle on the even-odd PC system M_pc x = src,
+    preconditioned by the FULL-operator V-cycle through the Schur
+    embedding: M_sym x = r ⇔ M_asym x = A_p r (M_asym = A_p·M_sym),
+    and the full system with rhs (A_p r on parity p, 0 elsewhere)
+    prepares to exactly that asymmetric PC system — so
+    K(r) = [V-cycle((A_p r, 0))]_p.  This is the PreconditionedSolver
+    wrapping of the reference (include/multigrid.h:177, used by the
+    production DIRECT_PC outer, interface_quda.cpp:2257): the outer
+    Krylov runs on half the dof with the better-conditioned Schur
+    operator while MG cycles over the full operator it was built on."""
+    pr = mg.dirac.params.matpc_parity
+
+    def precond(rp):
+        full = jnp.zeros((2,) + rp.shape, rp.dtype)
+        full = full.at[pr].set(mg.dirac.a_apply(rp, pr))
+        return mg.vcycle(full)[pr]
+
+    e = gcr_cycle(mg.dirac.matpc, r_p, n_krylov=n_krylov,
+                  precond=precond)
+    return x_p + e
+
+
+@jax.jit
+def _pc_resid(mg, x_p, src):
+    """(r_p, |r_p|²) for the PC outer in its own program (field output
+    alongside the scalar — see _mr_resid)."""
+    r = src - mg.dirac.matpc(x_p)
+    return r, jnp.real(jnp.vdot(r, r))
+
+
+@jax.jit
+def _pc_prepare(mg, b):
+    return mg.dirac.prepare(b)
+
+
+@jax.jit
+def _pc_reconstruct(mg, x_p, b):
+    return mg.dirac.reconstruct(x_p, b)
+
+
 _zeros_like = jax.jit(jnp.zeros_like)
 # NOTE: no bare jitted norm helper here on purpose — a program whose
 # only output is a scalar reduction of a complex field raises
@@ -500,12 +542,43 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
     V-cycle + true-residual per iteration — more syncs/residual
     recomputations, kept as the maximally-defensive fallback.
 
+    "gcr-pc": the reference's PRODUCTION call path (DIRECT_PC solve
+    type + MG, interface_quda.cpp:2257): the outer GCR runs on the
+    even-odd Schur system (half the dof, better conditioned) with the
+    full-operator V-cycle wrapped through the Schur embedding
+    (_gcr_step_pc = PreconditionedSolver, include/multigrid.h:177);
+    prepare/reconstruct bracket the solve, and convergence is checked
+    on the PC residual then reported as the FULL-system true residual.
+
     telemetry=True: returns SolveTelemetry with secs/gflops per solve
     (quda.h:198-202 parity)."""
     from quda_qkxtm_multigrid_tpu.solvers.gcr import GCRResult
     import time as _time
 
     t0 = _time.perf_counter()
+    if solver == "gcr-pc":
+        src = _pc_prepare(mg, b)
+        x_p = _zeros_like(src)
+        r_p, r2 = _pc_resid(mg, x_p, src)
+        b2 = float(r2)
+        iters = 0
+        for i in range(max_restarts):
+            if float(r2) <= tol * tol * b2:
+                break
+            x_p = _gcr_step_pc(mg, x_p, r_p, n_krylov)
+            iters += n_krylov
+            r_p, r2 = _pc_resid(mg, x_p, src)
+        x = _pc_reconstruct(mg, x_p, b)
+        r, r2_full = _mr_resid(mg, x, b)
+        res = GCRResult(x, jnp.asarray(iters), r2_full)
+        if telemetry:
+            from quda_qkxtm_multigrid_tpu.utils.profiling import (
+                solve_telemetry)
+            return res, solve_telemetry(mg.dirac, iters,
+                                        _time.perf_counter() - t0,
+                                        mg_cycles=iters)
+        return res
+
     x = _zeros_like(b)
     # |b|² from the first residual program (x = 0 ⇒ r² = |b|²): a
     # standalone scalar-only complex-reduction program raises

@@ -144,6 +144,30 @@ class TestMGSolve:
         plain = gcr(d.m, b, tol=1e-8, n_krylov=10, max_restarts=30)
         assert int(out.iters) <= int(plain.iters)
 
+    @pytest.mark.parametrize("kind,mu,csw", [
+        ("twisted-mass", 0.03, 0.0), ("twisted-clover", 0.03, 1.0)])
+    def test_mg_gcr_pc_outer(self, kind, mu, csw):
+        """The production outer (solver="gcr-pc": GCR on the even-odd
+        Schur system, MG V-cycle wrapped through the Schur embedding —
+        the reference's DIRECT_PC + PreconditionedSolver path,
+        interface_quda.cpp:2257 / include/multigrid.h:177) reaches the
+        same full-system residual as the full-operator outer, in no
+        more cycles."""
+        d = _dirac(6, kind=kind, kappa=0.122, mu=mu, csw=csw)
+        params = MGParams(block=(2, 2, 2, 2), nvec=6, setup_tol=1e-4,
+                          setup_maxiter=200, nu_post=4)
+        mg = setup_mg(d, params, jax.random.PRNGKey(7))
+        b = rng.random_spinor(jax.random.PRNGKey(8), GEOM)
+        out = mg_solve(mg, b, tol=1e-8, n_krylov=10, max_restarts=30,
+                       solver="gcr-pc")
+        r = b - d.m(out.x)
+        relres = float(jnp.linalg.norm(r.ravel())
+                       / jnp.linalg.norm(b.ravel()))
+        assert relres < 1e-6, relres
+        out_full = mg_solve(mg, b, tol=1e-8, n_krylov=10,
+                            max_restarts=30)
+        assert int(out.iters) <= int(out_full.iters)
+
     def test_pc_smoother_converges(self):
         """Even-odd preconditioned smoothing (the production
         smoother_solve_type = QUDA_DIRECT_PC_SOLVE,
