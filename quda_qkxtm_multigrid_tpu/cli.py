@@ -54,6 +54,12 @@ def _common(p):
     p.add_argument("--mg-setup-maxiter", type=int, default=500)
     p.add_argument("--mg-nu-pre", type=int, default=0)
     p.add_argument("--mg-nu-post", type=int, default=4)
+    p.add_argument("--mg-solver", choices=["gcr", "gcr-pc",
+                                           "mr-richardson"],
+                   default="gcr",
+                   help="MG outer: gcr-pc = the reference production "
+                        "DIRECT_PC path (outer Krylov on the Schur "
+                        "system)")
     p.add_argument("--delta-muPR", dest="delta_mu_pr", type=float,
                    default=1.0)
     p.add_argument("--delta-kappaPR", dest="delta_kappa_pr", type=float,
@@ -74,6 +80,7 @@ def _mg_params(args):
     from quda_qkxtm_multigrid_tpu.mg.multigrid import MGParams
     bx, by, bz, bt = (int(v) for v in args.mg_block.split(","))
     return MGParams(block=(bx, by, bz, bt), nvec=args.mg_nvec,
+                    outer_solver=args.mg_solver,
                     n_level=args.mg_levels, setup_tol=args.mg_setup_tol,
                     setup_maxiter=args.mg_setup_maxiter,
                     nu_pre=args.mg_nu_pre, nu_post=args.mg_nu_post,

@@ -50,6 +50,8 @@ class MGParams:
     # production smoother_solve_type = QUDA_DIRECT_PC_SOLVE,
     # CalcMG_2pt3pt_EvenOdd.cpp:419): MR runs on the Schur system via
     # prepare/reconstruct — half the sites, better conditioned
+    outer_solver: str = "gcr"         # mg_solve default: "gcr" |
+    # "gcr-pc" (DIRECT_PC production path) | "mr-richardson"
     coarse_nkrylov: int = 10          # multigrid.cpp:229-272
     coarse_maxiter_restarts: int = 1  # GCR restarts on the coarse level
     coarse_tol: float = 0.25
@@ -461,6 +463,21 @@ def _gcr_step_pc(mg, x_p, r_p, n_krylov):
     return x_p + e
 
 
+@partial(jax.jit, static_argnames=("n_krylov", "mesh"))
+def _gcr_step_pc_sharded(mg, x_p, r_p, n_krylov, mesh):
+    """_gcr_step_pc with the replicated-coarse V-cycle (multi-chip)."""
+    pr = mg.dirac.params.matpc_parity
+
+    def precond(rp):
+        full = jnp.zeros((2,) + rp.shape, rp.dtype)
+        full = full.at[pr].set(mg.dirac.a_apply(rp, pr))
+        return mg.vcycle_resharded(full, mesh)[pr]
+
+    e = gcr_cycle(mg.dirac.matpc, r_p, n_krylov=n_krylov,
+                  precond=precond)
+    return x_p + e
+
+
 @jax.jit
 def _pc_resid(mg, x_p, src):
     """(r_p, |r_p|²) for the PC outer in its own program (field output
@@ -524,7 +541,8 @@ def _mr_step_sharded(mg, x, r, mesh):
 
 def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
              n_krylov: int = 10, max_restarts: int = 50,
-             solver: str = "gcr", mesh=None, telemetry: bool = False):
+             solver: str | None = None, mesh=None,
+             telemetry: bool = False):
     """MG-preconditioned outer solve of M x = b.
 
     Default "gcr": restarted GCR(n_krylov) — the reference's production
@@ -555,6 +573,8 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
     from quda_qkxtm_multigrid_tpu.solvers.gcr import GCRResult
     import time as _time
 
+    if solver is None:
+        solver = getattr(mg.params, "outer_solver", None) or "gcr"
     t0 = _time.perf_counter()
     if solver == "gcr-pc":
         src = _pc_prepare(mg, b)
@@ -565,7 +585,10 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
         for i in range(max_restarts):
             if float(r2) <= tol * tol * b2:
                 break
-            x_p = _gcr_step_pc(mg, x_p, r_p, n_krylov)
+            if mesh is not None:
+                x_p = _gcr_step_pc_sharded(mg, x_p, r_p, n_krylov, mesh)
+            else:
+                x_p = _gcr_step_pc(mg, x_p, r_p, n_krylov)
             iters += n_krylov
             r_p, r2 = _pc_resid(mg, x_p, src)
         x = _pc_reconstruct(mg, x_p, b)
