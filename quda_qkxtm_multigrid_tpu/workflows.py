@@ -250,7 +250,8 @@ def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
                prop_up, prop_dn, u_ape, tsink: int, source=(0, 0, 0, 0),
                projectors=("G4",), particle=tp.PROTON, q_sq_max: int = 1,
                gauss_alpha: float = 4.0, gauss_n: int = 50,
-               tol: float = 1e-8, maxiter: int = 1000, mg_pair=None):
+               tol: float = 1e-8, maxiter: int = 1000, mg_pair=None,
+               mesh=None):
     """Fixed-sink 3pt workflow for one sink time: sequential sources for
     each projector and flavor part, sequential solves with the OPPOSITE
     twist, fixSink contractions (reference interface_quda.cpp:6560-7090).
@@ -259,11 +260,24 @@ def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
     sequential solves then use the opposite-flavor MG preconditioner
     (reference interface_quda.cpp:6665-6824).
 
+    mesh: optional lattice Mesh — gauge/propagator state is
+    t/z/w-sharded and the sequential solves + fixSink contractions
+    auto-partition (spatial-axes momentum reduction as in run_twop).
+
     Returns {proj: {part: {"ultra_local","noether","oneD"}}} momentum-
     projected with e^{+ipx} (3pt convention)."""
     kind = "twisted-clover" if csw != 0.0 else "twisted-mass"
     moms = con.momentum_list(q_sq_max)
     src_arr = jnp.asarray(source, jnp.int32)
+    if mesh is not None:
+        from quda_qkxtm_multigrid_tpu.parallel.mesh import (
+            shard_gauge, shard_spinor)
+        u = shard_gauge(u, mesh)
+        u_ape = shard_gauge(u_ape, mesh)
+        # propagators [2,4,4,3,3,T,Z,W]: 3 extra leading axes over the
+        # spinor's [2,4,3,...] layout minus the spin axis → extra=2
+        prop_up = shard_spinor(prop_up, mesh, extra_leading=2)
+        prop_dn = shard_spinor(prop_dn, mesh, extra_leading=2)
 
     @partial(jax.jit, static_argnames=("ts",))
     def _prop3d(prop, u_ape, ts):
@@ -336,27 +350,39 @@ def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
 
 def run_loops(u, geom: Geometry, kappa: float, mu: float, csw: float,
               n_stoch: int, key, tol: float = 1e-8, maxiter: int = 1000,
-              tol_lp: Optional[float] = None, n_hp: int = 0):
+              tol_lp: Optional[float] = None, n_hp: int = 0, mesh=None):
     """Stochastic disconnected loops with optional TSM
     (reference calcMG_loop_wOneD_TSM_EvenOdd :8535): n_stoch low-
     precision solves (tol_lp) plus n_hp paired HP/LP solves for bias
-    correction.  Returns dict of FFT-projected loop arrays."""
+    correction.  Returns dict of FFT-projected loop arrays.
+
+    mesh: optional lattice Mesh — gauge/solver state runs t/z/w-sharded
+    (XLA auto-partition, or the fused shmap matpc on TPU t-sharding);
+    the Z4 noise is key-deterministic, so sharded results equal the
+    single-device run."""
     from quda_qkxtm_multigrid_tpu.physics import loops as lp
     from quda_qkxtm_multigrid_tpu.utils.rng import z4_source
 
     kind = "twisted-clover" if csw != 0.0 else "twisted-mass"
+    if mesh is not None:
+        from quda_qkxtm_multigrid_tpu.parallel.mesh import shard_gauge
+        u = shard_gauge(u, mesh)
     d = make_dirac_jit(u, DiracParams(kind=kind, kappa=kappa, mu=mu,
                                       csw=csw,
                                       use_pallas=_auto_pallas(u, geom)),
                        geom)
     plain = lp.plain_wilson_partner(d)
     solve_tol = tol_lp if tol_lp is not None else tol
+    use_mesh = mesh if (mesh is not None
+                        and getattr(d, "_has_fused_matpc", False)) else None
 
-    @partial(jax.jit, static_argnames=("stol", "smax"))
-    def one_sample(d, plain, key, stol, smax):
+    @partial(jax.jit, static_argnames=("stol", "smax", "mesh_"))
+    def one_sample(d, plain, key, stol, smax, mesh_=None):
         xi = z4_source(key, geom, dtype=u.dtype)
-        x = invert(d, xi, tol=stol, maxiter=smax).x
+        x = invert(d, xi, tol=stol, maxiter=smax, mesh=mesh_).x
         return lp.one_end_trick(x, plain, geom)
+
+    one_sample = partial(one_sample, mesh_=use_mesh)
 
     _tree_sub = jax.jit(lambda a, b: jax.tree.map(jnp.subtract, a, b))
 

@@ -177,9 +177,14 @@ def test_v2_bf16_close(fields):
     assert rel < 0.03, rel     # bf16 has ~3 decimal digits
 
 
-@pytest.mark.parametrize("kind,mu", [("twisted-mass", 0.05),
-                                     ("twisted-clover", 0.05)])
-@pytest.mark.parametrize("dagger", [False, True])
+# smoke tier keeps one (kind, dagger) representative of each; the full
+# matrix runs in the slow tier (each interpret-mode case is ~3 min)
+@pytest.mark.parametrize("kind,mu,dagger", [
+    ("twisted-mass", 0.05, False),
+    pytest.param("twisted-clover", 0.05, False, marks=pytest.mark.slow),
+    pytest.param("twisted-mass", 0.05, True, marks=pytest.mark.slow),
+    ("twisted-clover", 0.05, True),
+])
 def test_msrc_matches_vmap_single(fields, kind, mu, dagger):
     """The multi-RHS fused matpc (dslash_ch_pallas5_msrc grid/index_map,
     source axis innermost) must equal a vmap of the single-RHS fused
@@ -273,11 +278,15 @@ def test_recon8_roundtrip(fields):
     assert rel < 1e-5, rel
 
 
-@pytest.mark.parametrize("epilogue,project", [("plain", False),
-                                              ("plain", True),
-                                              ("twist-xpay", False),
-                                              ("twist-xpay", True),
-                                              ("clover", False)])
+# smoke tier: one projected-faces case + one epilogue case; the rest of
+# the epilogue×projection matrix is slow-tier (interpret-mode cost)
+@pytest.mark.parametrize("epilogue,project", [
+    pytest.param("plain", False, marks=pytest.mark.slow),
+    ("plain", True),
+    ("twist-xpay", False),
+    pytest.param("twist-xpay", True, marks=pytest.mark.slow),
+    pytest.param("clover", False, marks=pytest.mark.slow),
+])
 def test_v5_overlap_matches_full(fields, epilogue, project):
     """Interior/exterior-split kernel (dslash_ch_pallas5_overlap_local)
     == the single t-extended kernel, faces fed from the periodic wrap
@@ -313,10 +322,17 @@ def test_v5_overlap_matches_full(fields, epilogue, project):
                                atol=1e-5)
 
 
+# the overlap-split (2,1,1) cases are the most expensive interpret-mode
+# tests in the suite (~3-4 min each) — slow tier; smoke keeps the
+# single-kernel shmap form and the T_loc=2 degenerate fallback, and the
+# split form is also exercised single-shard (test_v5_overlap_matches_
+# full) and under shard_map by the driver dryrun (__graft_entry__).
 @pytest.mark.parametrize("kind", ["twisted-mass", "twisted-clover"])
-@pytest.mark.parametrize("overlap,grid", [(False, (2, 1, 1)),
-                                          (True, (2, 1, 1)),
-                                          (True, (4, 1, 1))])
+@pytest.mark.parametrize("overlap,grid", [
+    (False, (2, 1, 1)),
+    pytest.param(True, (2, 1, 1), marks=pytest.mark.slow),
+    (True, (4, 1, 1)),
+])
 def test_fused_matpc_shmap(fields, kind, overlap, grid):
     """Multi-chip fused matpc (whole Schur chain inside one shard_map,
     two t-face ppermute pairs per application) bit-matches the XLA

@@ -59,10 +59,12 @@ def test_sharded_invert_matches(grid):
 
 
 @pytest.mark.parametrize("grid", [(2, 2, 1)])
-def test_sharded_mg_solve_matches(grid):
+@pytest.mark.parametrize("solver", ["gcr", "gcr-pc"])
+def test_sharded_mg_solve_matches(grid, solver):
     """MG outer solve with the replicated-coarse V-cycle on a mesh
     matches the single-device solve (coarse-level resharding,
-    SURVEY.md §7 hard-part 3)."""
+    SURVEY.md §7 hard-part 3) — both the full-operator GCR outer and
+    the production even-odd gcr-pc outer (_gcr_step_pc_sharded)."""
     from quda_qkxtm_multigrid_tpu.mg.multigrid import (MGParams, setup_mg,
                                                        mg_solve)
     u, b = _fields(3)
@@ -71,14 +73,15 @@ def test_sharded_mg_solve_matches(grid):
     params = MGParams(block=(2, 2, 2, 2), nvec=6, setup_tol=1e-4,
                       setup_maxiter=200, nu_post=4)
     mg = setup_mg(d, params, jax.random.PRNGKey(7))
-    ref = mg_solve(mg, b, tol=1e-8, max_restarts=30)
+    ref = mg_solve(mg, b, tol=1e-8, max_restarts=30, solver=solver)
 
     mesh = make_lattice_mesh(grid)
     import dataclasses as _dc
     mg_s = _dc.replace(mg, dirac=shard_dirac(d, mesh))
     b_s = shard_spinor(b, mesh)
     with jax.set_mesh(mesh):
-        got = mg_solve(mg_s, b_s, tol=1e-8, max_restarts=30, mesh=mesh)
+        got = mg_solve(mg_s, b_s, tol=1e-8, max_restarts=30, mesh=mesh,
+                       solver=solver)
     r = b - d.m(got.x)
     relres = float(jnp.linalg.norm(r.ravel()) / jnp.linalg.norm(b.ravel()))
     assert relres < 1e-6, relres
@@ -176,6 +179,64 @@ def test_fused_invert_sharded():
                                rtol=1e-3)
 
 
+@pytest.mark.slow
+def test_run_loops_sharded():
+    """Sharded disconnected-loops workflow: run_loops on a (2,2,1)
+    virtual mesh equals the single-device result (the Z4 noise is
+    key-deterministic, so the sharded solve chain + one-end trick +
+    FFT momentum projection must reproduce bit-equivalent loops)."""
+    from quda_qkxtm_multigrid_tpu.workflows import run_loops
+    from quda_qkxtm_multigrid_tpu.utils import rng
+    geom = Geometry(4, 4, 4, 8)
+    u = rng.random_gauge(jax.random.PRNGKey(11), geom,
+                         dtype=jnp.complex128)
+    kw = dict(kappa=0.115, mu=0.05, csw=0.0, n_stoch=1,
+              key=jax.random.PRNGKey(12), tol=1e-8, maxiter=300)
+    ref = run_loops(u, geom, **kw)
+    mesh = make_lattice_mesh((2, 2, 1))
+    with jax.set_mesh(mesh):
+        got = run_loops(u, geom, mesh=mesh, **kw)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]),
+                                   np.asarray(ref[k]), atol=1e-9,
+                                   err_msg=k)
+
+
+@pytest.mark.slow
+def test_run_threep_sharded():
+    """Sharded fixed-sink 3pt workflow: run_threep on a (2,2,1) virtual
+    mesh equals the single-device result (sequential solves, fixSink
+    local/noether/oneD insertions, spatial momentum reduction)."""
+    from quda_qkxtm_multigrid_tpu.workflows import run_threep
+    from quda_qkxtm_multigrid_tpu.ops.smear import ape_smear
+    from quda_qkxtm_multigrid_tpu.utils import rng
+    geom = Geometry(4, 4, 4, 8)
+    key = jax.random.PRNGKey(13)
+    k1, k2, k3 = jax.random.split(key, 3)
+    u = rng.random_gauge(k1, geom, dtype=jnp.complex128)
+    u_ape = ape_smear(u, geom, 0.5, 2)
+    # random forward propagators suffice for an equality check of the
+    # sequential-source/solve/contraction chain
+    shape = (2, 4, 4, 3, 3, geom.T, geom.Z, geom.W)
+    pu = (jax.random.normal(k2, shape) +
+          1j * jax.random.normal(k3, shape)) * 0.1
+    pd = jnp.conj(pu)
+    kw = dict(kappa=0.115, mu=0.05, csw=0.0, prop_up=pu, prop_dn=pd,
+              u_ape=u_ape, tsink=4, projectors=("G4",), gauss_n=2,
+              tol=1e-7, maxiter=300)
+    ref = run_threep(u, geom, **kw)
+    mesh = make_lattice_mesh((2, 2, 1))
+    with jax.set_mesh(mesh):
+        got = run_threep(u, geom, mesh=mesh, **kw)
+    for part in ("part1", "part2"):
+        for k in ("ultra_local", "noether", "oneD"):
+            np.testing.assert_allclose(
+                np.asarray(got["thrp"]["G4"][part][k]),
+                np.asarray(ref["thrp"]["G4"][part][k]),
+                atol=1e-8, err_msg=f"{part}/{k}")
+
+
+@pytest.mark.slow
 def test_run_twop_sharded():
     """Sharded 2pt workflow (VERDICT r1 next-step 8): run_twop on a
     (2,2,1) virtual mesh equals the single-device result — exercises
