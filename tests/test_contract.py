@@ -76,7 +76,10 @@ class TestBaryonOracle:
                        A, B, eps, eps, d, u, u)
         t2 = np.einsum("ab,ed,uvc,xjk,TZYXbevj,TZYXahuk,TZYXgdcx->TZYXgh",
                        A, B, eps, eps, d, u, u)
-        ref = -(t1 - t2)
+        # overall sign follows the REFERENCE convention established by
+        # tests/test_reference_contract.py (the round-2 global-sign fix
+        # of the NTN correlator; goldens regenerated to match)
+        ref = t1 - t2
         np.testing.assert_allclose(got_lex[0, 0].transpose(2, 3, 4, 5, 0, 1),
                                    ref, rtol=1e-9)
 
