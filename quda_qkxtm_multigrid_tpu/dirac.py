@@ -39,6 +39,12 @@ from quda_qkxtm_multigrid_tpu.lattice import Geometry
 from quda_qkxtm_multigrid_tpu.ops import dslash as _dsl
 from quda_qkxtm_multigrid_tpu.ops import twist as _twist
 
+# Trace-time path counters (see _fused_matpc_ch_shmap): routing tests
+# reset and read these to assert WHICH operator path a workflow reached
+# — the analogue of checking which policy the reference's
+# DslashPolicyTune selected (lib/dslash_policy.cuh:1056).
+PATH_COUNTERS = {"shmap_matpc": 0}
+
 
 def _ch_clover_apply(v_ch, cinv_ch, dag: bool = False):
     """Chiral-block 6×6 matrix field applied to a planar-channel spinor
@@ -290,6 +296,11 @@ class Dirac:
     def _fused_matpc_ch_shmap(self, psi_ch, mesh, dagger: bool = False,
                               interpret: bool | None = None,
                               overlap: bool = False):
+        # trace-time path counter: lets routing tests assert that a
+        # meshed workflow actually reached the multi-chip fused matpc
+        # (mis-routing to the single-chip kernels on sharded fields is
+        # invisible on CPU where _auto_pallas is off)
+        PATH_COUNTERS["shmap_matpc"] += 1
         """Multi-chip fused matpc: the WHOLE Schur chain (two fused
         dslash kernels + epilogues) runs inside one shard_map over the
         't' mesh axis — per application the only comms are two ppermute

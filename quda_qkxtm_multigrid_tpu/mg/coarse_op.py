@@ -105,6 +105,133 @@ def coarse_diag_hops(op: CoarseOperator):
     return diag_apply, hop_terms
 
 
+def _face_masks(bt: int, bz: int, by: int, bx: int) -> np.ndarray:
+    """[8, block_volume] float masks selecting, per hop direction
+    d = 2*mu + (0 fwd | 1 bwd), the intra-block sites whose hop operand
+    lives in the NEIGHBOURING aggregate: fwd reads psi(x+mu) so the
+    forward-mu face (coord == b-1) crosses; bwd reads psi(x-mu) so the
+    coord == 0 face crosses.  bv ordering is t-major, x-minor
+    (mg/transfer.to_blocked)."""
+    it, iz, iy, ix = np.meshgrid(np.arange(bt), np.arange(bz),
+                                 np.arange(by), np.arange(bx),
+                                 indexing="ij")
+    coords = {0: (ix, bx), 1: (iy, by), 2: (iz, bz), 3: (it, bt)}
+    masks = []
+    for mu in range(4):
+        c, b = coords[mu]
+        masks.append((c == b - 1).reshape(-1))   # fwd
+        masks.append((c == 0).reshape(-1))       # bwd
+    return np.stack(masks).astype(np.float64)
+
+
+def build_coarse_op_direct(transfer: "Transfer", diag_apply: Callable,
+                           hop_terms: list[Callable], dtype,
+                           batch: int | None = None) -> CoarseOperator:
+    """Direct V†(op)V coarse-op construction — the TPU form of the
+    reference's calculateY (reference lib/coarse_op.cu:17-118), replacing
+    the bipartite probing build.
+
+    For every coarse column j = (chirality c, vector b): the source is
+    the chirality-c-masked null vector w = P_c v_b (what prolongating a
+    unit coarse vector at EVERY coarse site yields).  Each fine hop term
+    h_d(w)(x) depends only on w at the single shifted site x ± mu, so in
+    blocked layout the restriction splits EXACTLY by the intra-block
+    face masks: contributions from block-face sites came from the
+    neighbouring aggregate (the coarse link Y_d), interior sites from
+    the same aggregate (the X part).  No prolongations, no coarse
+    2-colouring, no even-coarse-dims restriction, and the per-source
+    work batches into MXU-shaped [nvec x batch] restrict einsums
+    (lax.map batch_size) instead of 2*dof sequential probe programs."""
+    from quda_qkxtm_multigrid_tpu.mg.transfer import (
+        to_blocked, from_blocked, _chiral_split)
+
+    bg = transfer.bg
+    n, dof = bg.nvec, bg.coarse_dof
+    cshape = bg.coarse_shape
+    v = transfer.v                                  # [n, XC..., bv, 4, 3]
+    vch = jnp.conj(_chiral_split(v))                # [n, XC, bv, 2, 2, 3]
+    masks = jnp.asarray(_face_masks(bg.bt, bg.bz, bg.by, bg.bx))
+    if batch is None:
+        vol = bg.fine.volume
+        batch = 8 if vol <= 600_000 else (4 if vol <= 2_200_000 else 2)
+
+    def restrict_blk(hb):
+        """blocked fine [XC..., bv, 4, 3] → coarse [2(ch), n, XC...]."""
+        return heinsum("n...bcsa,...bcsa->cn...", vch, _chiral_split(hb))
+
+    def cols_one(j):
+        c = j // n
+        smask = (jnp.arange(4) // 2 == c).astype(v.dtype)
+        w_blk = v[j % n] * smask[:, None]
+        w = from_blocked(w_blk, bg).astype(dtype)
+        out = [restrict_blk(to_blocked(diag_apply(w), bg))]
+        faces = []
+        for d, h in enumerate(hop_terms):
+            hb = to_blocked(h(w), bg)
+            fb = hb * masks[d][:, None, None].astype(hb.dtype)
+            tot = restrict_blk(hb)
+            face = restrict_blk(fb)
+            out.append(tot - face)                  # intra-aggregate → X
+            faces.append(face)                      # cross-aggregate → Y_d
+        return jnp.stack(out + faces)   # [1+8+8, 2, n, XC...]
+
+    cols = jax.lax.map(cols_one, jnp.arange(dof),
+                       batch_size=min(batch, dof))  # [dof, 17, 2, n, XC]
+    x_cols = cols[:, 0] + cols[:, 1:9].sum(axis=1)  # [j, c, a, XC]
+    x = jnp.moveaxis(x_cols.reshape(dof, dof, *cshape), 0, 1)
+    y = jnp.stack([
+        jnp.moveaxis(cols[:, 9 + d].reshape(dof, dof, *cshape), 0, 1)
+        for d in range(8)])
+    return CoarseOperator(x=x, y=y, bg=bg)
+
+
+def build_coarse_op_direct_coarse(transfer2, diag_apply: Callable,
+                                  hop_terms: list[Callable], dtype,
+                                  batch: int = 16) -> CoarseOperator:
+    """build_coarse_op_direct for a coarse→coarser level: same masked-
+    source face-split construction over the dof-generic blocked layout
+    (the analogue of CoarseCoarseOp, reference lib/coarsecoarse_op.cu).
+    The preserved coarse spin (ns = 2) plays the chirality role."""
+    from quda_qkxtm_multigrid_tpu.mg.transfer import (
+        to_blocked_coarse, from_blocked_coarse)
+
+    bg = transfer2.bg
+    n, ns = bg.nvec, bg.fine_ns
+    dof = bg.coarse_dof
+    cshape = bg.coarse_shape
+    v = transfer2.v                               # [n, XC..., bv, ns, nc]
+    vc = jnp.conj(v)
+    masks = jnp.asarray(_face_masks(bg.bt, bg.bz, bg.by, bg.bx))
+
+    def restrict_blk(hb):
+        return heinsum("n...bsc,...bsc->sn...", vc, hb)
+
+    def cols_one(j):
+        s0 = j // n
+        smask = (jnp.arange(ns) == s0).astype(v.dtype)
+        w_blk = v[j % n] * smask[:, None]
+        w = from_blocked_coarse(w_blk, bg).astype(dtype)
+        out = [restrict_blk(to_blocked_coarse(diag_apply(w), bg))]
+        faces = []
+        for d, h in enumerate(hop_terms):
+            hb = to_blocked_coarse(h(w), bg)
+            fb = hb * masks[d][:, None, None].astype(hb.dtype)
+            tot = restrict_blk(hb)
+            face = restrict_blk(fb)
+            out.append(tot - face)
+            faces.append(face)
+        return jnp.stack(out + faces)
+
+    cols = jax.lax.map(cols_one, jnp.arange(dof),
+                       batch_size=min(batch, dof))
+    x_cols = cols[:, 0] + cols[:, 1:9].sum(axis=1)
+    x = jnp.moveaxis(x_cols.reshape(dof, dof, *cshape), 0, 1)
+    y = jnp.stack([
+        jnp.moveaxis(cols[:, 9 + d].reshape(dof, dof, *cshape), 0, 1)
+        for d in range(8)])
+    return CoarseOperator(x=x, y=y, bg=bg)
+
+
 def build_coarse_op(transfer, diag_apply: Callable,
                     hop_terms: list[Callable], dtype) -> CoarseOperator:
     """Probe the fine operator into coarse X and Y.

@@ -222,8 +222,7 @@ def _random_spinor_batch(key, geom, n, dtype):
                               batch_shape=(n,))
 
 
-@jax.jit
-def _build_level1(transfer, dirac):
+def _level1_terms(dirac):
     geom = dirac.geom
     kappa = dirac.params.kappa
 
@@ -237,7 +236,18 @@ def _build_level1(transfer, dirac):
             def h(psi, mu=mu, sign=sign):
                 return -kappa * _dsl.hop_apply(dirac.u, psi, mu, sign, geom)
             hop_terms.append(h)
-    return build_coarse_op(transfer, diag_apply, hop_terms, dirac.u.dtype)
+    return diag_apply, hop_terms
+
+
+@jax.jit
+def _build_level1(transfer, dirac):
+    """Direct V†(op)V coarse construction (calculateY analogue,
+    lib/coarse_op.cu:17-118) — the probing build is kept in
+    mg/coarse_op.py as the test oracle."""
+    from quda_qkxtm_multigrid_tpu.mg.coarse_op import build_coarse_op_direct
+    diag_apply, hop_terms = _level1_terms(dirac)
+    return build_coarse_op_direct(transfer, diag_apply, hop_terms,
+                                  dirac.u.dtype)
 
 
 def generate_null_vectors(dirac: Dirac, bg: BlockGeometry, key,
@@ -377,9 +387,11 @@ def _random_coarse(key, shape, dtype):
 
 @jax.jit
 def _build_level2(transfer2, coarse):
-    from quda_qkxtm_multigrid_tpu.mg.coarse_op import coarse_diag_hops
+    from quda_qkxtm_multigrid_tpu.mg.coarse_op import (
+        coarse_diag_hops, build_coarse_op_direct_coarse)
     diag2, hops2 = coarse_diag_hops(coarse)
-    return build_coarse_op(transfer2, diag2, hops2, coarse.x.dtype)
+    return build_coarse_op_direct_coarse(transfer2, diag2, hops2,
+                                         coarse.x.dtype)
 
 
 def setup_coarse_level(coarse: CoarseOperator, params: MGParams, key):

@@ -78,11 +78,27 @@ class TestBlocking:
 
 
 class TestCoarseOp:
+    def test_direct_build_matches_probing(self):
+        """build_coarse_op_direct (calculateY analogue) reproduces the
+        bipartite-probing oracle X and Y exactly."""
+        from quda_qkxtm_multigrid_tpu.mg.coarse_op import (
+            build_coarse_op, build_coarse_op_direct)
+        from quda_qkxtm_multigrid_tpu.mg.multigrid import _level1_terms
+        d = _dirac(7, kind="twisted-clover", kappa=0.12, mu=0.06, csw=1.0)
+        t = _transfer(8)
+        diag, hops = _level1_terms(d)
+        ref = build_coarse_op(t, diag, hops, d.u.dtype)
+        got = build_coarse_op_direct(t, diag, hops, d.u.dtype, batch=3)
+        np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                                   atol=1e-11)
+        np.testing.assert_allclose(np.asarray(got.y), np.asarray(ref.y),
+                                   atol=1e-11)
+
     @pytest.mark.parametrize("kind,mu,csw", [
         ("wilson", 0.0, 0.0), ("twisted-clover", 0.06, 1.0)])
     def test_galerkin_consistency(self, kind, mu, csw):
         """Dc vc == R(M(P(vc))) for random vc — validates X, Y and the
-        bipartite probing construction."""
+        direct V†(op)V construction used by setup_mg."""
         d = _dirac(4, kind=kind, kappa=0.12, mu=mu, csw=csw)
         params = MGParams(block=(2, 2, 2, 2), nvec=4, setup_maxiter=50,
                           setup_tol=1e-3)
