@@ -30,6 +30,16 @@ def _fused_tm(dirac: Dirac) -> bool:
     return dirac._has_fused_matpc
 
 
+def _default_sloppy(dirac: Dirac) -> Dirac:
+    """Demote every complex leaf one storage tier (f64→f32) — the
+    default matSloppy when the caller supplies none (reference
+    interface_quda.cpp:1039 loadSloppyGauge)."""
+    lo = jnp.complex64
+    return jax.tree.map(
+        lambda a: a.astype(lo) if hasattr(a, "dtype") and
+        jnp.issubdtype(a.dtype, jnp.complexfloating) else a, dirac)
+
+
 def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
            solver: str = "cg", sloppy_dirac: Dirac | None = None,
            inner_tol: float = 1e-2, mesh=None,
@@ -103,12 +113,21 @@ def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
         res = cg(dirac.matpc_dagm, rhs, tol=tol, maxiter=maxiter)
     elif solver == "cg-mixed":
         if sloppy_dirac is None:
-            lo = jnp.complex64
-            sloppy_dirac = jax.tree.map(
-                lambda a: a.astype(lo) if hasattr(a, "dtype") and
-                jnp.issubdtype(a.dtype, jnp.complexfloating) else a, dirac)
+            sloppy_dirac = _default_sloppy(dirac)
         res = cg_mixed(dirac.matpc_dagm, sloppy_dirac.matpc_dagm, rhs,
                        tol=tol, maxiter=maxiter, inner_tol=inner_tol)
+    elif solver == "bicgstab":
+        # non-hermitian solve of matpc(x) = src directly (no normal
+        # equations) — reference lib/inv_bicgstab_quda.cpp
+        from quda_qkxtm_multigrid_tpu.solvers.bicgstab import bicgstab
+        res = bicgstab(dirac.matpc, src, tol=tol, maxiter=maxiter)
+    elif solver == "bicgstab-mixed":
+        # BASELINE parity config 2: mixed-precision BiCGstab
+        from quda_qkxtm_multigrid_tpu.solvers.bicgstab import bicgstab_mixed
+        if sloppy_dirac is None:
+            sloppy_dirac = _default_sloppy(dirac)
+        res = bicgstab_mixed(dirac.matpc, sloppy_dirac.matpc, src,
+                             tol=tol, maxiter=maxiter, inner_tol=inner_tol)
     else:
         raise ValueError(f"unknown solver {solver}")
 

@@ -1,8 +1,11 @@
 from quda_qkxtm_multigrid_tpu.solvers.cg import cg, cg_mixed, CGResult
-from quda_qkxtm_multigrid_tpu.solvers.bicgstab import bicgstab, BiCGStabResult
+from quda_qkxtm_multigrid_tpu.solvers.bicgstab import (
+    bicgstab, bicgstab_mixed, BiCGStabResult)
 from quda_qkxtm_multigrid_tpu.solvers.mr import mr
 from quda_qkxtm_multigrid_tpu.solvers.gcr import gcr, GCRResult
-from quda_qkxtm_multigrid_tpu.solvers.multishift import multishift_cg, MultiShiftResult
+from quda_qkxtm_multigrid_tpu.solvers.multishift import (
+    multishift_cg, multishift_cg_refined, MultiShiftResult,
+    RefinedMultiShiftResult)
 from quda_qkxtm_multigrid_tpu.solvers.msrc import msrc_cg, MultiSrcResult
 from quda_qkxtm_multigrid_tpu.solvers.eigen import lanczos, chebyshev_op, deflate_guess, project_out, EigResult
 from quda_qkxtm_multigrid_tpu.solvers.gmresdr import gmresdr, GMResDRResult

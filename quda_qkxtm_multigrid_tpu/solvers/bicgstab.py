@@ -16,6 +16,7 @@ class BiCGStabResult(NamedTuple):
     x: jax.Array
     iters: jax.Array
     r2: jax.Array
+    stats: object = None  # ReliableStats for the mixed-precision solver
 
 
 def _dot(a, b):
@@ -59,3 +60,54 @@ def bicgstab(matvec: Callable, b, x0=None, tol: float = 1e-10,
             "r2": jnp.real(_dot(r, r)), "k": jnp.asarray(0, jnp.int32)}
     out = jax.lax.while_loop(cond, body, init)
     return BiCGStabResult(out["x"], out["k"], out["r2"])
+
+
+def bicgstab_mixed(matvec_hi: Callable, matvec_lo: Callable, b,
+                   tol: float = 1e-10, maxiter: int = 2000,
+                   inner_tol: float = 1e-3, inner_maxiter: int = 300,
+                   lo_dtype=jnp.complex64, max_restarts: int = 20,
+                   max_res_increase: int = 1,
+                   max_res_increase_total: int = 10) -> BiCGStabResult:
+    """Mixed-precision BiCGstab: sloppy inner BiCGstab + high-precision
+    defect-correction restarts — the solver of BASELINE parity config 2
+    (TM/TMC dslash + mixed-precision BiCGstab), reference
+    lib/inv_bicgstab_quda.cpp:240-320 reliable-update form.
+
+    Same residual-increase guard as cg_mixed
+    (inv_cg_quda.cpp:260-281): terminate at the sloppy operator's
+    precision floor instead of looping; stats.diverged reports it."""
+    from quda_qkxtm_multigrid_tpu.solvers.support import ReliableStats
+
+    b2 = jnp.real(_dot(b, b))
+    target = (tol * tol) * b2
+    x0 = jnp.zeros_like(b)
+
+    def cond(carry):
+        _, r2, restarts, _, inc, inc_tot = carry
+        ok = jnp.logical_and(inc <= max_res_increase,
+                             inc_tot <= max_res_increase_total)
+        return jnp.logical_and(
+            jnp.logical_and(r2 > target, restarts < max_restarts), ok)
+
+    def body(carry):
+        x, r2, restarts, iters, inc, inc_tot = carry
+        r = b - matvec_hi(x)
+        e = bicgstab(matvec_lo, r.astype(lo_dtype), tol=inner_tol,
+                     maxiter=inner_maxiter)
+        x = x + e.x.astype(b.dtype)
+        r_new = b - matvec_hi(x)
+        r2_new = jnp.real(_dot(r_new, r_new))
+        increased = r2_new > r2
+        inc = jnp.where(increased, inc + 1, 0)
+        inc_tot = inc_tot + increased.astype(jnp.int32)
+        return (x, r2_new, restarts + 1, iters + e.iters, inc, inc_tot)
+
+    z32 = jnp.asarray(0, jnp.int32)
+    x, r2, restarts, iters, inc, inc_tot = jax.lax.while_loop(
+        cond, body, (x0, b2, z32, z32, z32, z32))
+    diverged = jnp.logical_and(
+        r2 > target,
+        jnp.logical_or(inc > max_res_increase,
+                       inc_tot > max_res_increase_total))
+    return BiCGStabResult(x, iters, r2,
+                          ReliableStats(restarts, inc, inc_tot, diverged))

@@ -81,3 +81,45 @@ def multishift_cg(matvec: Callable, b, shifts: Sequence[float],
 
     out = jax.lax.while_loop(cond, body, init)
     return MultiShiftResult(out["x"], out["k"], out["r2"])
+
+
+class RefinedMultiShiftResult(NamedTuple):
+    x: jax.Array            # [n_shift, ...field] refined solutions
+    iters: jax.Array        # shifted-pass iterations
+    refine_iters: jax.Array  # [n_shift] per-shift refinement CG iterations
+    r2: jax.Array           # [n_shift] per-shift final |r|² after refinement
+
+
+def multishift_cg_refined(matvec: Callable, b, shifts: Sequence[float],
+                          tol: float = 1e-10, maxiter: int = 1000,
+                          refine_tol: float | None = None,
+                          refine_maxiter: int = 500) -> RefinedMultiShiftResult:
+    """Shifted pass + per-shift sequential-CG refinement.
+
+    The zeta recurrences converge every shift only as fast as the base
+    system; the reference therefore refines each shift afterwards with
+    a CG on (A + sigma_i), seeded with the multishift solution
+    (reference lib/interface_quda.cpp:3083-3112: per-offset true
+    residual check then CG refinement with
+    inv_param->use_init_guess = QUDA_USE_INIT_GUESS_YES).
+
+    One CG program is compiled once and reused for every shift: sigma
+    and the initial guess are TRACED scan carries (lax.scan over the
+    shift axis), the analogue of the reference reusing its solver
+    kernels across the offset loop.
+    """
+    from quda_qkxtm_multigrid_tpu.solvers.cg import cg
+
+    base = multishift_cg(matvec, b, shifts, tol=tol, maxiter=maxiter)
+    rdtype = jnp.finfo(jnp.result_type(b.dtype)).dtype
+    sig = jnp.asarray(shifts, dtype=rdtype)
+    rtol = tol if refine_tol is None else refine_tol
+
+    def refine_one(_, inp):
+        sigma, x0 = inp
+        res = cg(lambda v: matvec(v) + sigma * v, b, x0=x0,
+                 tol=rtol, maxiter=refine_maxiter)
+        return None, (res.x, res.iters, res.r2)
+
+    _, (x, it, r2) = jax.lax.scan(refine_one, None, (sig, base.x))
+    return RefinedMultiShiftResult(x, base.iters, it, r2)
