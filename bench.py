@@ -181,6 +181,15 @@ def main():
         "detail": {**detail, "dtype": "complex64",
                    "speed_of_light_gflops": sol},
     }
+    # Machine provenance: written ONLY by this code path, at measurement
+    # time, so a cached re-emission is distinguishable from a hand-edit.
+    rec["detail"]["provenance"] = {
+        "pid": os.getpid(),
+        "unix_time": round(time.time(), 1),
+        "writer": "bench.py:main",
+        "jax": jax.__version__,
+        "device": str(jax.devices()[0]) if on_tpu else "cpu",
+    }
     if on_tpu:
         try:
             with open(_LAST_TPU, "w") as f:

@@ -50,6 +50,12 @@ class CompactDirac:
     params: DiracParams
     geom: Geometry
 
+    # Routing properties: workflows treat a CompactDirac as a solver
+    # backend without the msrc/shmap fused extras (those need the full
+    # Dirac bundle), so the _has_fused_matpc fast paths stay off.
+    _has_fused_matpc = False
+    field_dtype = jnp.complex64   # spinor I/O dtype of the compact path
+
     # ---- fused hot path (same chain as Dirac._fused_matpc_*_ch) ----
     def _v5(self, parity, psi_ch, **kw):
         from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
@@ -184,7 +190,11 @@ def make_compact(u, params: DiracParams, geom: Geometry,
         return g, ci, cl
 
     if host:
-        cpu = jax.devices("cpu")[0]
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            host = False
+    if host:
         with jax.default_device(cpu):
             g, ci, cl = jax.jit(build)(jax.device_put(u, cpu))
             jax.block_until_ready(g)
@@ -213,3 +223,28 @@ def invert_compact(cd: CompactDirac, b_e, b_o, tol: float = 1e-7,
     m_e, m_o = cd.m_ch(x_e, x_o, interpret)
     r_e, r_o = b_e - m_e, b_o - m_o
     return (x_e, x_o), res.iters, (r_e, r_o)
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter", "interpret"))
+def invert_compact_full(cd: CompactDirac, b, tol: float = 1e-7,
+                        maxiter: int = 2000, interpret: bool = False):
+    """Full-field front end to invert_compact: b is the canonical
+    [2,4,3,T,Z,W] complex spinor; channel conversion, the CG chain, and
+    the true-residual all run inside ONE jit program (the conversion is
+    once-per-solve, never in the hot loop).  Returns an
+    invert.InvertResult, so workflows can use a CompactDirac wherever
+    they use a Dirac (the wiring of the reference's sloppy-resident
+    gauge into invertQuda, interface_quda.cpp:1039/2276)."""
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
+        _to_channels, _from_channels)
+    from quda_qkxtm_multigrid_tpu.invert import InvertResult
+
+    b_e = _to_channels(b[0]).astype(jnp.float32)
+    b_o = _to_channels(b[1]).astype(jnp.float32)
+    (x_e, x_o), iters, (r_e, r_o) = invert_compact(
+        cd, b_e, b_o, tol=tol, maxiter=maxiter, interpret=interpret)
+    x = jnp.stack([_from_channels(x_e, (4, 3)),
+                   _from_channels(x_o, (4, 3))]).astype(b.dtype)
+    r2 = jnp.sum(r_e * r_e) + jnp.sum(r_o * r_o)
+    b2 = jnp.sum(b_e * b_e) + jnp.sum(b_o * b_o)
+    return InvertResult(x, iters, jnp.sqrt(r2 / b2))

@@ -49,20 +49,35 @@ PATH_COUNTERS = {"shmap_matpc": 0}
 def _ch_clover_apply(v_ch, cinv_ch, dag: bool = False):
     """Chiral-block 6×6 matrix field applied to a planar-channel spinor
     (standalone XLA pass, used only for the leading A⁻¹† of the dagger
-    ordering — the other applications are fused into the kernels)."""
+    ordering — the other applications are fused into the kernels).
+
+    The 6×6 contraction is UNROLLED into elementwise multiply-adds on
+    [T,2,Z,W] slices on purpose: an einsum over the block dims makes
+    XLA lay (6,6) minor-most and pad them to the (8,128) tile — a 28×
+    HBM expansion (144 MB → 4 GB per temp) that OOMs the 32³×64 msrc
+    setup solve (bisected on-chip, round 3).  Unrolled, every temp
+    keeps (Z,W) minor and tiles perfectly."""
     t, _, z, w = v_ch.shape
     vr = v_ch[:, 0::2].reshape(t, 2, 6, z, w).astype(jnp.float32)
     vi = v_ch[:, 1::2].reshape(t, 2, 6, z, w).astype(jnp.float32)
-    m = cinv_ch.reshape(t, 2, 6, 6, 2, z, w).astype(jnp.float32)
-    mr, mi = m[:, :, :, :, 0], m[:, :, :, :, 1]
-    if dag:
-        mr = jnp.swapaxes(mr, 2, 3)
-        mi = -jnp.swapaxes(mi, 2, 3)
-    out_r = (jnp.einsum("thrczw,thczw->thrzw", mr, vr)
-             - jnp.einsum("thrczw,thczw->thrzw", mi, vi))
-    out_i = (jnp.einsum("thrczw,thczw->thrzw", mr, vi)
-             + jnp.einsum("thrczw,thczw->thrzw", mi, vr))
-    out = jnp.stack([out_r, out_i], axis=3)      # [T,2,6,2,Z,W]
+    m = cinv_ch.reshape(t, 2, 6, 6, 2, z, w)
+    rows_r, rows_i = [], []
+    for r in range(6):
+        acc_r = acc_i = None
+        for c in range(6):
+            i, j = (c, r) if dag else (r, c)
+            mr = m[:, :, i, j, 0].astype(jnp.float32)
+            mi = m[:, :, i, j, 1].astype(jnp.float32)
+            if dag:
+                mi = -mi
+            tr = mr * vr[:, :, c] - mi * vi[:, :, c]
+            ti = mr * vi[:, :, c] + mi * vr[:, :, c]
+            acc_r = tr if acc_r is None else acc_r + tr
+            acc_i = ti if acc_i is None else acc_i + ti
+        rows_r.append(acc_r)
+        rows_i.append(acc_i)
+    out = jnp.stack([jnp.stack(rows_r, axis=2),
+                     jnp.stack(rows_i, axis=2)], axis=3)  # [T,2,6,2,Z,W]
     return out.reshape(v_ch.shape[0], 24, z, w)
 
 

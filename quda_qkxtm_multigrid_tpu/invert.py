@@ -63,6 +63,20 @@ def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
     choice, dslash_policy.cuh); None consults the persisted policy
     tunecache (tune_matpc_policy) and defaults to the single-kernel
     form if never tuned."""
+    from quda_qkxtm_multigrid_tpu.compact import (
+        CompactDirac, invert_compact_full)
+    if isinstance(dirac, CompactDirac):
+        # HBM-limited volumes (48³×96): the channel-bundle CG chain is
+        # the only solve the compact operands support (the reference's
+        # sloppy-resident-gauge path, interface_quda.cpp:1039)
+        if mesh is not None:
+            raise ValueError("CompactDirac is the single-chip HBM-"
+                             "limited path; shard smaller volumes with "
+                             "the full Dirac instead")
+        if solver != "cg":
+            raise ValueError(f"CompactDirac supports solver='cg' only, "
+                             f"got {solver!r}")
+        return invert_compact_full(dirac, b, tol=tol, maxiter=maxiter)
     if mesh is not None and solver == "cg" and _fused_tm(dirac):
         import dataclasses as _dc
         from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (

@@ -259,3 +259,136 @@ def write_twop_ascii(path, corr, moms, kind: str):
                                         f"{it} {fl} {t} {px:+d} {py:+d} "
                                         f"{pz:+d} {s1} {s2} "
                                         f"{v.real:+.16e} {v.imag:+.16e}\n")
+
+
+# --- Position-space (CORR_SPACE = POSITION_SPACE) writers ---------------
+# The reference tags position-space trees "PosSpace" where momentum
+# trees carry "Qsq%d" (reference interface_quda.cpp:6367-6368) and
+# allocates the full local volume per correlator (:6150-6151); HDF5
+# only (ASCII position-space is explicitly unsupported, :6128-6133).
+
+
+def write_twop_hdf5_posspace(path, mesons, baryons, traj: int, source):
+    """mesons [10, 2(flavor), T, Z, Y, X], baryons
+    [10, 2, 4, 4, T, Z, Y, X] complex → conf/src/PosSpace/<kind>/<name>/
+    twop_{meson,baryon}_{1,2} datasets [T, Z, Y, X, (16,) 2]."""
+    mesons = np.asarray(mesons)
+    baryons = np.asarray(baryons)
+    with h5py.File(path, "w") as f:
+        g = f.create_group(f"conf_{traj:04d}").create_group(
+            _src_tag(source)).create_group("PosSpace")
+        gm = g.create_group("mesons")
+        for it, name in enumerate(MESON_NAMES):
+            gt = gm.create_group(name)
+            for ip in range(2):
+                gt.create_dataset(f"twop_meson_{ip + 1}",
+                                  data=_ri(mesons[it, ip]))
+        gb = g.create_group("baryons")
+        for it, name in enumerate(BARYON_NAMES):
+            gt = gb.create_group(name)
+            for ip in range(2):
+                # [4,4,T,Z,Y,X] → [T,Z,Y,X,16]
+                blk = baryons[it, ip].reshape((16,) + baryons.shape[-4:])
+                gt.create_dataset(f"twop_baryon_{ip + 1}",
+                                  data=_ri(np.moveaxis(blk, 0, -1)))
+
+
+def write_threep_hdf5_posspace(path, thrp, traj: int, source, tsink: int,
+                               proj: str, thrp_type: str, particle: str):
+    """thrp: ultra_local [16, T, Z, Y, X] / noether [4, T, Z, Y, X] /
+    oneD [16, 4, T, Z, Y, X] complex — PosSpace 3pt tree (reference
+    writeThrpHDF5 PosSpace branch)."""
+    thrp = np.asarray(thrp)
+    with h5py.File(path, "a") as f:
+        root = f.require_group(f"conf_{traj:04d}").require_group(
+            _src_tag(source)).require_group("PosSpace")
+        g = root.require_group(f"tsink_{tsink:02d}").require_group(
+            f"proj_{proj}").require_group(particle).require_group(thrp_type)
+        if thrp.ndim == 6:                        # oneD [16,4,T,Z,Y,X]
+            for mu in range(4):
+                blk = np.moveaxis(thrp[:, mu], 0, -1)   # [T,Z,Y,X,16]
+                g.require_group(f"dir_{mu:02d}").create_dataset(
+                    "threep", data=_ri(blk))
+        else:
+            g.create_dataset("threep", data=_ri(np.moveaxis(thrp, 0, -1)))
+
+
+# --- ASCII 3pt / loop writers -------------------------------------------
+
+
+def write_threep_ascii(path_prefix, thrp, moms, t_src: int = 0,
+                       tsink: int = 0):
+    """ASCII 3pt writer matching the reference line formats
+    (reference qudaQKXTM_Contraction_Kepler.cpp:2940-2995):
+    three files <prefix>.thrp.{ultra_local,neutron?...} — here one per
+    type in ``thrp`` ({"ultra_local": [16,T,nmom], "noether":
+    [4,T,nmom], "oneD": [16,4,T,nmom]}); lines
+        local/noether:  'iop \\t it \\t +px +py +pz \\t +re +im'
+        oneD:           'iop \\t dir \\t it \\t +px +py +pz \\t +re +im'
+    with the source-shifted time index and the anti-periodic
+    wrap-around sign flip of the reference."""
+    paths = []
+    for tname, arr in thrp.items():
+        arr = np.asarray(arr)
+        nt = arr.shape[-2]
+        sign = -1.0 if (tsink + t_src) >= nt else 1.0
+        path = f"{path_prefix}.thrp.{tname}.dat"
+        paths.append(path)
+        with open(path, "w") as f:
+            if tname == "oneD":
+                for iop in range(arr.shape[0]):
+                    for mu in range(arr.shape[1]):
+                        for it in range(nt):
+                            its = (it + t_src) % nt
+                            for im, (px, py, pz) in enumerate(moms):
+                                v = sign * arr[iop, mu, its, im]
+                                f.write(f"{iop} \t {mu} \t {it} \t "
+                                        f"{px:+d} {py:+d} {pz:+d} \t "
+                                        f"{v.real:+e} {v.imag:+e}\n")
+            else:
+                for iop in range(arr.shape[0]):
+                    for it in range(nt):
+                        its = (it + t_src) % nt
+                        for im, (px, py, pz) in enumerate(moms):
+                            v = sign * arr[iop, its, im]
+                            f.write(f"{iop} \t {it} \t "
+                                    f"{px:+d} {py:+d} {pz:+d} \t "
+                                    f"{v.real:+e} {v.imag:+e}\n")
+    return paths
+
+
+def write_loops_ascii(path_prefix, loops, moms, oneD_factor: float = 0.25):
+    """ASCII loop writer matching the reference's writeLoops_ASCII
+    (reference qudaQKXTM_Loops_Kepler.cpp:502-560): one file per loop
+    type '<prefix>_<type>.loop'; lines
+        ultra-local: 't gm +px +py +pz +re +im'        (%02d ids)
+        oneD:        't gm mu +px +py +pz +re +im'  with the 0.25
+    derivative normalisation applied at write time exactly as the
+    reference does.  loops: dict name → [16, T, nmom] or
+    [4(dir), 16, T, nmom]."""
+    paths = []
+    for name, arr in loops.items():
+        arr = np.asarray(arr)
+        path = f"{path_prefix}_{name}.loop"
+        paths.append(path)
+        with open(path, "w") as f:
+            if arr.ndim == 4:                       # [dir, 16, T, nmom]
+                for im, (px, py, pz) in enumerate(moms):
+                    for t in range(arr.shape[2]):
+                        for gm in range(16):
+                            for mu in range(arr.shape[0]):
+                                v = oneD_factor * arr[mu, gm, t, im]
+                                f.write(f"{t:02d} {gm:02d} {mu:02d} "
+                                        f"{px:+d} {py:+d} {pz:+d} "
+                                        f"{v.real:+16.15e} "
+                                        f"{v.imag:+16.15e}\n")
+            else:                                   # [16, T, nmom]
+                for im, (px, py, pz) in enumerate(moms):
+                    for t in range(arr.shape[1]):
+                        for gm in range(16):
+                            v = arr[gm, t, im]
+                            f.write(f"{t:02d} {gm:02d} "
+                                    f"{px:+d} {py:+d} {pz:+d} "
+                                    f"{v.real:+16.15e} "
+                                    f"{v.imag:+16.15e}\n")
+    return paths

@@ -199,11 +199,19 @@ def _ortho_blocked(vs, bg):
     return block_orthonormalize(jnp.stack([to_blocked(v, bg) for v in vs]))
 
 
-@partial(jax.jit, static_argnames=("bg",))
+@partial(jax.jit, static_argnames=("bg",), donate_argnums=(0,))
 def _ortho_blocked_batched(batches, bg):
-    """As _ortho_blocked but over a list of [n_i, ...] batch arrays."""
+    """As _ortho_blocked but over a list of [n_i, ...] batch arrays.
+
+    Memory discipline for 32³×64 (the full 24-vector set is ~4.8 GB in
+    c64): the solve batches are DONATED (dead after this program), and
+    the field→blocked layout conversion runs SEQUENTIALLY per vector
+    (lax.map) so its transpose temporaries stay one-vector-sized — a
+    vmapped conversion materialises the whole set twice and OOMs
+    (bisected on-chip r3)."""
     vb = jnp.concatenate(batches) if len(batches) > 1 else batches[0]
-    return block_orthonormalize(jax.vmap(lambda v: to_blocked(v, bg))(vb))
+    blk = jax.lax.map(lambda v: to_blocked(v, bg), vb)
+    return block_orthonormalize(blk)
 
 
 @partial(jax.jit, static_argnames=("geom", "dtype"))
@@ -378,11 +386,11 @@ def _coarse_null_solve(coarse, b, tol, maxiter):
     return bicgstab(coarse.apply, b, tol=tol, maxiter=maxiter).x
 
 
-@partial(jax.jit, static_argnames=("shape", "dtype"))
 def _random_coarse(key, shape, dtype):
-    real_dt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
-    br, bi = jax.random.normal(key, (2,) + shape, real_dt)
-    return (br + 1j * bi).astype(dtype)
+    # Q2-safe batched draw (utils/backend_quirks.py)
+    from quda_qkxtm_multigrid_tpu.utils.backend_quirks import (
+        batched_normal_draw)
+    return batched_normal_draw(key, shape, dtype)
 
 
 @jax.jit

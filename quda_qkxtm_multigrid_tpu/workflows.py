@@ -52,7 +52,7 @@ def _solve_column(dirac, u_ape, geom, coords, spin, color, alpha, nsmear,
     # reference's per-source loop reuses its kernels the same way,
     # interface_quda.cpp:6342)
     b = fields.point_source_dyn(geom, coords, spin, color,
-                                dtype=dirac.u.dtype)
+                                dtype=_op_dtype(dirac))
     b = gaussian_smear(b, u_ape, geom, alpha, nsmear)
     out = invert(dirac, b, tol=tol, maxiter=maxiter)
     return out.x, out.true_res
@@ -125,7 +125,7 @@ def forward_prop(dirac, u_ape, geom, coords, alpha=4.0, nsmear=50,
                                        color, alpha, nsmear, tol, maxiter)
             else:
                 b = _smeared_point_source(u_ape, geom, coords, spin, color,
-                                          alpha, nsmear, dirac.u.dtype)
+                                          alpha, nsmear, _op_dtype(dirac))
                 x, res = solve_fn(b)
             if verbose:
                 print(f"  column {spin}{color}: true_res={float(res):.2e}")
@@ -161,12 +161,51 @@ def _auto_pallas(u, geom: Geometry) -> bool:
             and geom.volume <= 2_200_000)
 
 
+# Test hook for the compact (HBM-limited) routing decision.
+_FORCE_COMPACT: Optional[bool] = None
+
+
+def _auto_compact(u, geom: Geometry) -> bool:
+    """Above the fused-bundle HBM gate (48³×96-class volumes) the
+    production operator is the CompactDirac channel bundle: bf16
+    operands host-staged once, ~8 GB at 48³×96 vs ≈12 GB+ for the c64
+    bundle (the reference's sloppy-resident gauge,
+    interface_quda.cpp:1039)."""
+    if _FORCE_COMPACT is not None:
+        return _FORCE_COMPACT
+    import jax as _jax
+    return (_jax.default_backend() == "tpu"
+            and u.dtype == jnp.complex64
+            and geom.volume > 2_200_000)
+
+
+def make_operator(u, params: DiracParams, geom: Geometry, mesh=None):
+    """Production operator factory: the fused Dirac when the complex64
+    bundle fits single-chip HBM (or a mesh shards it), the CompactDirac
+    channel bundle above the gate — so 48³×96-class workflows reach the
+    fused kernels instead of silently falling back to the XLA path."""
+    import dataclasses as _dc
+    if mesh is None and _auto_compact(u, geom):
+        from quda_qkxtm_multigrid_tpu.compact import make_compact
+        return make_compact(u, params, geom, bf16=True, host=True)
+    return make_dirac_jit(
+        u, _dc.replace(params, use_pallas=_auto_pallas(u, geom)), geom)
+
+
+def _op_dtype(d):
+    """Spinor dtype for an operator that may be a Dirac (has .u) or a
+    CompactDirac (channel bundle only)."""
+    u = getattr(d, "u", None)
+    return u.dtype if u is not None else d.field_dtype
+
+
 def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
              source=(0, 0, 0, 0), q_sq_max: int = 1,
              ape_alpha: float = 0.5, ape_n: int = 20,
              gauss_alpha: float = 4.0, gauss_n: int = 50,
              tol: float = 1e-8, maxiter: int = 1000, verbose=False,
-             mg_params=None, mg_key=None, mesh=None):
+             mg_params=None, mg_key=None, mesh=None,
+             corr_space: str = "momentum"):
     """Point-source 2pt workflow: both twist flavors, mesons + baryons,
     momentum-projected.  Returns dict with correlators and the momentum
     list.
@@ -181,7 +220,12 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
     fused shmap matpc (TPU t-sharding), and the per-timeslice
     contraction + momentum projection reduce over the SPATIAL mesh axes
     only (the role of the reference's time-slice communicator,
-    qudaQKXTM_Kepler_utils.cpp:40-61, SURVEY §2.10.9)."""
+    qudaQKXTM_Kepler_utils.cpp:40-61, SURVEY §2.10.9).
+
+    corr_space: "momentum" (default, projected onto the momentum list)
+    or "position" (full lexicographic correlation fields [..,T,Z,Y,X] —
+    the reference's CORR_SPACE = POSITION_SPACE,
+    interface_quda.cpp:6117-6151)."""
     kind = "twisted-clover" if csw != 0.0 else "twisted-mass"
     src_arr = jnp.asarray(source, jnp.int32)
     if mesh is not None:
@@ -190,10 +234,14 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
     u_ape = _ape(u, geom, ape_alpha, ape_n)
     diracs = {}
     for name, flavor in (("up", +1), ("dn", -1)):
-        diracs[name] = make_dirac_jit(
+        diracs[name] = make_operator(
             u, DiracParams(kind=kind, kappa=kappa, mu=mu, csw=csw,
-                           flavor=flavor,
-                           use_pallas=_auto_pallas(u, geom)), geom)
+                           flavor=flavor), geom, mesh=mesh)
+    if mg_params is not None and getattr(diracs["up"], "u", None) is None:
+        raise ValueError(
+            "MG setup needs the full Dirac bundle; this volume routed "
+            "to CompactDirac (HBM-limited) — run without mg_params or "
+            "shard the lattice over a mesh instead")
     solve_fns = {"up": None, "dn": None}
     if mesh is not None and diracs["up"]._has_fused_matpc:
         def _mk_mesh_solve(d):
@@ -219,8 +267,8 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
                               static_argnames=("sign",))(p, sign=flavor)
     moms = con.momentum_list(q_sq_max)
 
-    @jax.jit
-    def _contract(pu, pd, src):
+    @partial(jax.jit, static_argnames=("space",))
+    def _contract(pu, pd, src, space="momentum"):
         # contraction is site-local until the momentum projection, so
         # run it one timeslice at a time (lax.map, sequential): the
         # 4-open-spin baryon einsum intermediates scale with the mapped
@@ -243,16 +291,22 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
                                    batch_size=min(4, geom.T))
         mes = jnp.moveaxis(mes_t, 0, 3)             # [10,2,2,T,Z,W]
         bar = jnp.moveaxis(bar_t, 0, 5)             # [10,2,4,4,2,T,Z,W]
-        mes_m = con.momentum_project_dyn(con.corr_to_lex(mes, geom),
-                                         geom, moms, src)
-        bar_m = con.momentum_project_dyn(con.corr_to_lex(bar, geom),
-                                         geom, moms, src)
+        mes_lex = con.corr_to_lex(mes, geom)
+        bar_lex = con.corr_to_lex(bar, geom)
+        if space == "position":
+            # CORR_SPACE = POSITION_SPACE: the full lexicographic
+            # correlation field [.., T, Z, Y, X] (reference
+            # interface_quda.cpp:6150-6151, PosSpace groups :6368)
+            return mes_lex, bar_lex
+        mes_m = con.momentum_project_dyn(mes_lex, geom, moms, src)
+        bar_m = con.momentum_project_dyn(bar_lex, geom, moms, src)
         return mes_m, bar_m
 
-    mes_m, bar_m = _contract(props["up"], props["dn"], src_arr)
+    mes_m, bar_m = _contract(props["up"], props["dn"], src_arr,
+                             space=corr_space)
     return {"mesons": mes_m, "baryons": bar_m, "moms": moms,
             "prop_up": props["up"], "prop_dn": props["dn"], "u_ape": u_ape,
-            "mg_pair": mg_pair}
+            "mg_pair": mg_pair, "corr_space": corr_space}
 
 
 def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
@@ -260,7 +314,7 @@ def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
                projectors=("G4",), particle=tp.PROTON, q_sq_max: int = 1,
                gauss_alpha: float = 4.0, gauss_n: int = 50,
                tol: float = 1e-8, maxiter: int = 1000, mg_pair=None,
-               mesh=None):
+               mesh=None, corr_space: str = "momentum"):
     """Fixed-sink 3pt workflow for one sink time: sequential sources for
     each projector and flavor part, sequential solves with the OPPOSITE
     twist, fixSink contractions (reference interface_quda.cpp:6560-7090).
@@ -316,14 +370,18 @@ def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
         b = apply_gamma5(src[q, s])
         return gaussian_smear(b, u_ape, geom, gauss_alpha, gauss_n)
 
-    @partial(jax.jit, static_argnames=("part",))
-    def _fixsink(seqprop, fwd, u, src, part):
+    @partial(jax.jit, static_argnames=("part", "space"))
+    def _fixsink(seqprop, fwd, u, src, part, space="momentum"):
         loc = tp.fixsink_local(seqprop, fwd, particle, part)
         noe = tp.fixsink_noether(seqprop, fwd, u, geom, particle, part)
         oneD = tp.fixsink_oneD(seqprop, fwd, u, geom, particle, part)
         def mproj(c):
-            return con.momentum_project_dyn(con.corr_to_lex(c, geom),
-                                            geom, -moms, src)
+            lex = con.corr_to_lex(c, geom)
+            if space == "position":
+                # CORR_SPACE = POSITION_SPACE (reference
+                # interface_quda.cpp:6150-6151)
+                return lex
+            return con.momentum_project_dyn(lex, geom, -moms, src)
         return mproj(loc), mproj(noe), mproj(oneD)
 
     up3d = _prop3d(prop_up, u_ape, tsink)
@@ -347,21 +405,20 @@ def run_threep(u, geom: Geometry, kappa: float, mu: float, csw: float,
                 cols = [solve(_seq_src_smeared(u_ape, src, q=q, s=s))[0]
                         for q in range(4) for s in range(3)]
             else:
-                d = make_dirac_jit(
+                d = make_operator(
                     u, DiracParams(kind=kind, kappa=kappa, mu=mu,
-                                   csw=csw, flavor=flavor,
-                                   use_pallas=_auto_pallas(u, geom)),
-                    geom)
+                                   csw=csw, flavor=flavor),
+                    geom, mesh=mesh)
                 use_mesh = mesh if (mesh is not None
                                     and d._has_fused_matpc) else None
                 cols = [_seq_col(d, u_ape, src, q=q, s=s, mesh_=use_mesh)
                         for q in range(4) for s in range(3)]
             seqprop = _assemble_prop(cols)
             loc, noe, oneD = _fixsink(seqprop, prop_up, u, src_arr,
-                                      partflag)
+                                      partflag, space=corr_space)
             results[proj_name][f"part{partflag}"] = {
                 "ultra_local": loc, "noether": noe, "oneD": oneD}
-    return {"thrp": results, "moms": moms}
+    return {"thrp": results, "moms": moms, "corr_space": corr_space}
 
 
 def run_loops(u, geom: Geometry, kappa: float, mu: float, csw: float,

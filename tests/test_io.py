@@ -219,3 +219,88 @@ class TestGaugeTools:
         p0 = plaquette(u, GEOM)[0]
         p1 = plaquette(uf, GEOM)[0]
         np.testing.assert_allclose(float(p0), float(p1), rtol=1e-12)
+
+
+# --- Position-space + ASCII tail (VERDICT r2 missing #7/#8) ------------
+
+
+def _fake_corrs(nt=4, nz=2, ny=2, nx=2):
+    r = np.random.RandomState(3)
+    mes = (r.randn(10, 2, nt, nz, ny, nx)
+           + 1j * r.randn(10, 2, nt, nz, ny, nx))
+    bar = (r.randn(10, 2, 4, 4, nt, nz, ny, nx)
+           + 1j * r.randn(10, 2, 4, 4, nt, nz, ny, nx))
+    return mes, bar
+
+
+def test_posspace_hdf5_roundtrip(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    from quda_qkxtm_multigrid_tpu.io.hdf5 import (
+        write_twop_hdf5_posspace, write_threep_hdf5_posspace)
+    from quda_qkxtm_multigrid_tpu.physics.contract import (
+        MESON_NAMES, BARYON_NAMES)
+    mes, bar = _fake_corrs()
+    p = tmp_path / "pos.h5"
+    write_twop_hdf5_posspace(str(p), mes, bar, 7, (0, 0, 0, 1))
+    with h5py.File(p) as f:
+        base = f["conf_0007/sx00sy00sz00st01/PosSpace"]
+        d = np.asarray(base[f"mesons/{MESON_NAMES[2]}/twop_meson_1"])
+        np.testing.assert_allclose(d[..., 0] + 1j * d[..., 1], mes[2, 0])
+        db = np.asarray(base[f"baryons/{BARYON_NAMES[0]}/twop_baryon_2"])
+        assert db.shape == (4, 2, 2, 2, 16, 2)
+        np.testing.assert_allclose(
+            db[..., 5, 0] + 1j * db[..., 5, 1],
+            bar[0, 1].reshape(16, 4, 2, 2, 2)[5])
+    r = np.random.RandomState(5)
+    thrp = (r.randn(16, 4, 4, 2, 2, 2)
+            + 1j * r.randn(16, 4, 4, 2, 2, 2))   # oneD [16,4,T,Z,Y,X]
+    p3 = tmp_path / "pos3.h5"
+    write_threep_hdf5_posspace(str(p3), thrp, 7, (0, 0, 0, 1), 3, "G4",
+                               "oneD", "proton")
+    with h5py.File(p3) as f:
+        d = np.asarray(f["conf_0007/sx00sy00sz00st01/PosSpace/tsink_03/"
+                         "proj_G4/proton/oneD/dir_02/threep"])
+        np.testing.assert_allclose(d[..., 4, 0] + 1j * d[..., 4, 1],
+                                   thrp[4, 2])
+
+
+def test_threep_ascii_format(tmp_path):
+    from quda_qkxtm_multigrid_tpu.io.hdf5 import write_threep_ascii
+    moms = np.asarray([(0, 0, 0), (1, 0, -1)])
+    r = np.random.RandomState(1)
+    thrp = {"ultra_local": r.randn(16, 8, 2) + 1j * r.randn(16, 8, 2),
+            "noether": r.randn(4, 8, 2) + 1j * r.randn(4, 8, 2),
+            "oneD": r.randn(16, 4, 8, 2) + 1j * r.randn(16, 4, 8, 2)}
+    paths = write_threep_ascii(str(tmp_path / "x"), thrp, moms,
+                               t_src=2, tsink=3)
+    lines = open(paths[0]).read().splitlines()
+    assert len(lines) == 16 * 8 * 2
+    toks = lines[0].split()
+    # 'iop \t it \t +px +py +pz \t +re +im' — source-shifted time
+    assert toks[0] == "0" and toks[1] == "0"
+    v = thrp["ultra_local"][0, 2, 0]          # its = (0 + t_src) % 8
+    assert abs(float(toks[5]) - v.real) < 1e-5
+    oneD = open(paths[2]).read().splitlines()
+    assert len(oneD) == 16 * 4 * 8 * 2
+    assert len(oneD[0].split()) == 8          # iop dir it px py pz re im
+
+
+def test_loops_ascii_format(tmp_path):
+    from quda_qkxtm_multigrid_tpu.io.hdf5 import write_loops_ascii
+    moms = np.asarray([(0, 0, 0)])
+    r = np.random.RandomState(2)
+    loops = {"Scalar": r.randn(16, 4, 1) + 1j * r.randn(16, 4, 1),
+             "LpsDw": r.randn(4, 16, 4, 1) + 1j * r.randn(4, 16, 4, 1)}
+    paths = write_loops_ascii(str(tmp_path / "L"), loops, moms)
+    sc = open(paths[0]).read().splitlines()
+    assert len(sc) == 16 * 4
+    t, gm, px, py, pz, re, im = sc[0].split()
+    assert (t, gm) == ("00", "00")
+    assert abs(float(re) - loops["Scalar"][0, 0, 0].real) < 1e-12
+    dw = open(paths[1]).read().splitlines()
+    assert len(dw) == 4 * 16 * 4
+    toks = dw[0].split()
+    assert len(toks) == 8
+    # reference applies the 0.25 derivative normalisation at write time
+    assert abs(float(toks[6]) - 0.25 * loops["LpsDw"][0, 0, 0, 0].real) \
+        < 1e-12

@@ -256,3 +256,28 @@ def test_delta_knobs_solve():
     r = b - d.m(out.x)
     rel = float(jnp.linalg.norm(r.ravel()) / jnp.linalg.norm(b.ravel()))
     assert rel < 1e-7, rel
+
+
+def test_cholqr_matches_mgs_oracle():
+    """The production CholQR² block orthonormalisation equals the
+    sequential modified-Gram-Schmidt oracle (both are the Q of the
+    positive-diagonal QR; reference BlockOrthogonalize,
+    lib/transfer_util.cu:567)."""
+    from quda_qkxtm_multigrid_tpu.mg.transfer import (
+        block_orthonormalize, block_orthonormalize_coarse, _block_gs,
+        _chiral_split)
+    k = jax.random.PRNGKey(0)
+    shape = (5, 2, 2, 2, 2, 16, 4, 3)
+    v = (jax.random.normal(k, shape)
+         + 1j * jax.random.normal(jax.random.PRNGKey(1), shape)
+         ).astype(jnp.complex128)
+    new = block_orthonormalize(v)
+    ref = _block_gs(_chiral_split(v), axes=(-4, -2, -1)).reshape(v.shape)
+    assert float(jnp.max(jnp.abs(new - ref))) < 1e-10
+    shape2 = (4, 2, 2, 2, 2, 8, 2, 6)
+    v2 = (jax.random.normal(k, shape2)
+          + 1j * jax.random.normal(jax.random.PRNGKey(2), shape2)
+          ).astype(jnp.complex128)
+    new2 = block_orthonormalize_coarse(v2)
+    ref2 = _block_gs(v2, axes=(-3, -1))
+    assert float(jnp.max(jnp.abs(new2 - ref2))) < 1e-10

@@ -112,3 +112,24 @@ class TestLoops:
                             "Loops", "LoopsCv"}
         for k, v in out.items():
             assert np.isfinite(np.asarray(v)).all(), k
+
+
+class TestCorrSpace:
+    def test_position_space_projects_to_momentum(self, twop):
+        """corr_space='position' (CORR_SPACE = POSITION_SPACE, reference
+        interface_quda.cpp:6117-6151) returns full lexicographic fields
+        whose momentum projection equals the momentum-space run."""
+        from quda_qkxtm_multigrid_tpu.physics import contract as con
+        u, out_m = twop
+        out_p = wf.run_twop(u, GEOM, kappa=0.115, mu=0.05, csw=1.0,
+                            q_sq_max=1, ape_n=2, gauss_n=3, tol=1e-8,
+                            maxiter=500, corr_space="position")
+        assert out_p["corr_space"] == "position"
+        mes_lex = out_p["mesons"]                  # [10,2,T,Z,Y,X]
+        assert mes_lex.shape[-4:] == (GEOM.T, GEOM.Z, GEOM.Y, GEOM.X)
+        proj = con.momentum_project_dyn(
+            mes_lex, GEOM, out_m["moms"],
+            jnp.asarray((0, 0, 0, 0), jnp.int32))
+        np.testing.assert_allclose(np.asarray(proj),
+                                   np.asarray(out_m["mesons"]),
+                                   rtol=2e-4, atol=2e-4)
