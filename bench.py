@@ -86,6 +86,8 @@ def _chain_time(f, args, n_lo, n_hi, reps=3):
 
 
 def main():
+    from quda_qkxtm_multigrid_tpu import enable_compile_cache
+    enable_compile_cache()
     from quda_qkxtm_multigrid_tpu.lattice import Geometry
     from quda_qkxtm_multigrid_tpu.ops import dslash as dsl
     from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import _to_channels
@@ -168,9 +170,17 @@ def main():
         detail.update({"path": "xla-shift-cpu",
                        "ms_per_apply": round(dt * 1e3, 4)})
 
-    if on_tpu and os.environ.get("QKXTM_BENCH_SOLVE") == "1":
+    # detail.solve (the BASELINE.md primary solve metric at 32³×64) is
+    # emitted BY DEFAULT on TPU; QKXTM_BENCH_SOLVE=0 opts out.  A solve
+    # failure must not cost the headline kernel metric, so it degrades
+    # to an error record instead of raising.
+    if on_tpu and os.environ.get("QKXTM_BENCH_SOLVE", "1") != "0":
         from quda_qkxtm_multigrid_tpu.benchmarks import solve_benchmarks
-        detail["solve"] = solve_benchmarks(geom)
+        try:
+            detail["solve"] = solve_benchmarks(geom)
+        except Exception as e:  # noqa: BLE001 — diagnostic record
+            detail["solve"] = {
+                "error": f"{type(e).__name__}: {str(e)[:300]}"}
 
     sol = 1408.0  # v5e speed-of-light at f32 reference traffic
     rec = {

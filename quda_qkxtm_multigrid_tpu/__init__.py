@@ -30,6 +30,29 @@ from quda_qkxtm_multigrid_tpu import utils
 __version__ = "0.1.0"
 
 
+def enable_compile_cache(path: str | None = None,
+                         min_secs: float = 2.0) -> str:
+    """Enable JAX's persistent compilation cache under
+    $QKXTM_RESOURCE_PATH (default ~/.cache/qkxtm) — the role of QUDA's
+    tunecache/resource dir (reference lib/tune.cpp:211-260,
+    QUDA_RESOURCE_PATH): cold Mosaic+XLA compiles of the big solver
+    programs cost minutes through the remote-compile tunnel; the disk
+    cache makes every later process warm-start.  Called by bench.py,
+    the CLI, and the on-chip scripts."""
+    import os
+    import jax
+
+    if path is None:
+        path = os.path.join(os.environ.get(
+            "QKXTM_RESOURCE_PATH", os.path.expanduser("~/.cache/qkxtm")),
+            "xla_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_secs))
+    return path
+
+
 def enable_x64():
     """Enable 64-bit (double / complex128) mode, the analogue of
     QUDA_DOUBLE_PRECISION (reference include/enum_quda.h:55)."""

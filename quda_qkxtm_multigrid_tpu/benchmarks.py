@@ -100,6 +100,162 @@ def bench_mg(geom, tol: float = 1e-7, nvec: int = 24,
             "block": list(block)}
 
 
+def bench_compact(geom, tol: float = 1e-7, maxiter: int = 2000,
+                  source=(0, 0, 0, 0)) -> dict:
+    """CompactDirac CG wall-clock at an HBM-limited volume (48³×96):
+    host-staged bf16 channel-bundle build + on-chip channel-domain CG
+    (the sloppy-resident-gauge path, reference
+    interface_quda.cpp:1039).  Reports build/solve seconds, iters,
+    gflops, and the resident operand bytes."""
+    from quda_qkxtm_multigrid_tpu.compact import (
+        make_compact, invert_compact_full)
+    from quda_qkxtm_multigrid_tpu.utils import rng
+    from quda_qkxtm_multigrid_tpu import fields
+    from quda_qkxtm_multigrid_tpu.utils.profiling import flops_per_mat
+
+    k1, _ = jax.random.split(jax.random.PRNGKey(7))
+    params = _tmc_params(use_pallas=True, bf16=True)
+    # gauge built on host too at this volume (the c64 gauge alone is
+    # ~2.4 GB; the doubled+clover intermediates would not fit)
+    cpu = jax.devices("cpu")[0]
+    t0 = time.time()
+    with jax.default_device(cpu):
+        u = jax.jit(lambda k: rng.random_gauge(
+            k, geom, dtype=jnp.complex64))(k1)
+        jax.block_until_ready(u)
+    cd = make_compact(u, params, geom, bf16=True, host=True)
+    jax.block_until_ready(cd.g_ch)
+    build_secs = time.time() - t0
+    opbytes = sum(int(a.size) * a.dtype.itemsize
+                  for t in (cd.g_ch, cd.cinv_ch, cd.cl_ch)
+                  for a in t if a is not None)
+    b = jax.jit(lambda: fields.point_source(geom, source, 0, 0,
+                                            dtype=jnp.complex64))()
+    solve = jax.jit(lambda cd, b: invert_compact_full(
+        cd, b, tol=tol, maxiter=maxiter))
+    out = solve(cd, b)                       # cold (compiles)
+    res = float(out.true_res)
+    t0 = time.perf_counter()
+    out = solve(cd, b)
+    res = float(out.true_res)
+    secs = time.perf_counter() - t0
+    iters = int(out.iters)
+    gflops = (2 * flops_per_mat(cd.params, geom) + 4 * 2 * 24
+              * geom.half_volume) * iters / secs / 1e9
+    return {"geom": list(geom.dims), "iters": iters, "secs": round(secs, 2),
+            "gflops": round(gflops, 1), "true_res": res,
+            "build_secs": round(build_secs, 2),
+            "operand_gb": round(opbytes / 2**30, 2),
+            "solver": "cg-compact-bf16"}
+
+
+def bench_bf16_spinor(geom, cg_geom=None) -> dict:
+    """A/B of the bf16-SPINOR storage tier (the QUDA-half spinor
+    analogue, reference include/enum_quda.h:55-62, WITHOUT a per-site
+    norm array — bf16 shares f32's exponent range so fixed-point
+    scaling is unnecessary; SURVEY hard-part 4):
+
+      1. dslash GF/s with psi planes stored bf16 (in+out) vs f32, both
+         on the production bf16-gauge recon-12 kernel;
+      2. the CG residual floor of the twisted-clover normal-op chain
+         with bf16-storage intermediates, and the mixed
+         defect-correction recovery to 1e-8 (cg_mixed role,
+         inv_cg_quda.cpp:207-311)."""
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
+        dslash_ch_auto, gauge_channels)
+    from quda_qkxtm_multigrid_tpu.ops import dslash as dsl
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import _to_channels
+    from quda_qkxtm_multigrid_tpu.utils import rng
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    u = jax.jit(lambda k: rng.random_gauge(
+        k, geom, dtype=jnp.complex64))(k1)
+    g = jax.jit(lambda u: gauge_channels(
+        dsl.double_gauge(u, geom), 0, True, True))(u)
+    psi = jax.jit(lambda k: rng.random_spinor(
+        k, geom, dtype=jnp.complex64))(k2)
+    p32 = jax.jit(lambda p: _to_channels(p[1]).astype(jnp.float32))(psi)
+    p16 = jax.jit(lambda p: p.astype(jnp.bfloat16))(p32)
+
+    def chain(n, odt):
+        @jax.jit
+        def f(g, p):
+            def body(i, v):
+                o = dslash_ch_auto(g, v, 0, geom, recon12=True,
+                                   bf16=True, out_dtype=odt)
+                return (o * jnp.asarray(0.125, odt)).astype(odt)
+            return jnp.sum(jnp.abs(jax.lax.fori_loop(
+                0, n, body, p).astype(jnp.float32)))
+        return f
+
+    def slope(odt, p):
+        f_lo, f_hi = chain(10, odt), chain(110, odt)
+        float(f_lo(g, p)), float(f_hi(g, p))
+
+        def best(fn):
+            vals = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(fn(g, p))
+                vals.append(time.perf_counter() - t0)
+            return min(vals)
+        return (best(f_hi) - best(f_lo)) / 100
+
+    flops = dsl.WILSON_DSLASH_FLOPS_PER_SITE * geom.half_volume
+    out = {
+        "f32_spinor_gflops": round(flops / slope(jnp.float32, p32) / 1e9, 1),
+        "bf16_spinor_gflops": round(flops / slope(jnp.bfloat16, p16) / 1e9, 1),
+        "geom": list(geom.dims),
+    }
+
+    # ---- convergence: bf16-storage chain floor + mixed recovery -----
+    from quda_qkxtm_multigrid_tpu.compact import make_compact
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import _from_channels
+    from quda_qkxtm_multigrid_tpu.solvers.cg import cg, cg_mixed
+    from quda_qkxtm_multigrid_tpu.lattice import Geometry
+    cgg = cg_geom if cg_geom is not None else Geometry(16, 16, 16, 32)
+    params = _tmc_params(use_pallas=True, bf16=True)
+    u2 = jax.jit(lambda k: rng.random_gauge(
+        k, cgg, dtype=jnp.complex64))(k1)
+    cd = make_compact(u2, params, cgg, bf16=True)
+    b = jax.jit(lambda k: rng.random_spinor(
+        k, cgg, dtype=jnp.complex64))(k2)
+    rhs = jax.jit(lambda cd, b: cd.matpc_ch(
+        cd.prepare_ch(_to_channels(b[0]).astype(jnp.float32),
+                      _to_channels(b[1]).astype(jnp.float32)),
+        dagger=True))(cd, b)
+
+    @jax.jit
+    def floor_bf16(cd, rhs):
+        res = cg(lambda v: cd.matpc_dagm_ch(
+            v, storage_dtype=jnp.bfloat16), rhs, tol=1e-10, maxiter=400)
+        r = rhs - cd.matpc_dagm_ch(res.x)       # true residual, f32 chain
+        return r, jnp.sqrt(jnp.real(jnp.vdot(r, r))
+                           / jnp.real(jnp.vdot(rhs, rhs))), res.iters
+
+    _, floor, it1 = floor_bf16(cd, rhs)
+
+    @jax.jit
+    def mixed_bf16(cd, rhs):
+        res = cg_mixed(lambda v: cd.matpc_dagm_ch(v),
+                       lambda v: cd.matpc_dagm_ch(
+                           v, storage_dtype=jnp.bfloat16),
+                       rhs, tol=1e-8, maxiter=2000, inner_tol=1e-3)
+        r = rhs - cd.matpc_dagm_ch(res.x)
+        return r, jnp.sqrt(jnp.real(jnp.vdot(r, r))
+                           / jnp.real(jnp.vdot(rhs, rhs))), res.iters
+
+    _, mixed_res, it2 = mixed_bf16(cd, rhs)
+    out.update({
+        "cg_geom": list(cgg.dims),
+        "bf16_storage_cg_floor": float(floor),
+        "bf16_storage_cg_iters": int(it1),
+        "mixed_bf16_true_res": float(mixed_res),
+        "mixed_bf16_iters": int(it2),
+    })
+    return out
+
+
 def solve_benchmarks(geom) -> dict:
     """The detail.solve payload for bench.py."""
     return {"cg": bench_cg(geom), "mg": bench_mg(geom)}

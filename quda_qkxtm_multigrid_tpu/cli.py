@@ -117,6 +117,8 @@ def _load_gauge(args, geom, dtype):
 def main(argv=None):
     import jax
     import jax.numpy as jnp
+    from quda_qkxtm_multigrid_tpu import enable_compile_cache
+    enable_compile_cache()
 
     parser = argparse.ArgumentParser(prog="quda_qkxtm_multigrid_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)

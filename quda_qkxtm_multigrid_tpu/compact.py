@@ -67,10 +67,14 @@ class CompactDirac:
                               interpret=kw.pop("interpret", False), **kw)
 
     def matpc_ch(self, psi_ch, dagger: bool = False,
-                 interpret: bool = False):
+                 interpret: bool = False, out_dtype=jnp.float32):
+        """out_dtype=jnp.bfloat16 runs this matpc in the bf16-SPINOR
+        storage tier (intermediate and output planes stored bf16,
+        compute f32 in-kernel) — the QUDA-half spinor analogue without
+        a norm array (enum_quda.h:55-62; bf16 keeps f32's exponent)."""
         p = self.params
         pr, k = p.matpc_parity, p.kappa
-        kw = dict(interpret=interpret)
+        kw = dict(interpret=interpret, out_dtype=out_dtype)
         if p.has_clover:
             ci_p, ci_o = self.cinv_ch[pr], self.cinv_ch[1 - pr]
             if not dagger:
@@ -96,9 +100,14 @@ class CompactDirac:
         return self._v5(pr, t, dagger=True, xpay_coef=-(k * k),
                         x_ch=psi_ch, **kw)
 
-    def matpc_dagm_ch(self, psi_ch, interpret: bool = False):
-        return self.matpc_ch(self.matpc_ch(psi_ch, False, interpret),
-                             True, interpret)
+    def matpc_dagm_ch(self, psi_ch, interpret: bool = False,
+                      storage_dtype=None):
+        """Normal operator M† M; storage_dtype=jnp.bfloat16 keeps every
+        intermediate spinor plane in bf16 storage (final output f32 for
+        the solver reductions)."""
+        mid = jnp.float32 if storage_dtype is None else storage_dtype
+        t = self.matpc_ch(psi_ch, False, interpret, out_dtype=mid)
+        return self.matpc_ch(t, True, interpret)
 
     # ---- diagonal A / A^-1 in channel domain -----------------------
     def _a_apply_ch(self, v_ch, parity, interpret=False):

@@ -143,34 +143,37 @@ def build_coarse_op_direct(transfer: "Transfer", diag_apply: Callable,
     work batches into MXU-shaped [nvec x batch] restrict einsums
     (lax.map batch_size) instead of 2*dof sequential probe programs."""
     from quda_qkxtm_multigrid_tpu.mg.transfer import (
-        to_blocked, from_blocked, _chiral_split)
+        to_blocked_flat, from_blocked_flat)
 
     bg = transfer.bg
     n, dof = bg.nvec, bg.coarse_dof
     cshape = bg.coarse_shape
-    v = transfer.v                                  # [n, XC..., bv, 4, 3]
-    vch = jnp.conj(_chiral_split(v))                # [n, XC, bv, 2, 2, 3]
-    masks = jnp.asarray(_face_masks(bg.bt, bg.bz, bg.by, bg.bx))
+    v = transfer.v                            # FLAT: [n, XC..., 2, bv*6]
+    vconj = jnp.conj(v)
+    # face masks per intra-block site, expanded to the flat bdof axis
+    # (bv-major, 6 spin-color entries per site)
+    masks = jnp.asarray(np.repeat(
+        _face_masks(bg.bt, bg.bz, bg.by, bg.bx), 6, axis=1))
     if batch is None:
         vol = bg.fine.volume
         batch = 8 if vol <= 600_000 else (4 if vol <= 2_200_000 else 2)
 
-    def restrict_blk(hb):
-        """blocked fine [XC..., bv, 4, 3] → coarse [2(ch), n, XC...]."""
-        return heinsum("n...bcsa,...bcsa->cn...", vch, _chiral_split(hb))
+    def restrict_blk(hf):
+        """flat blocked fine [XC..., 2, bdof] → coarse [2(ch), n, XC]."""
+        return heinsum("n...cd,...cd->cn...", vconj, hf)
 
     def cols_one(j):
         c = j // n
-        smask = (jnp.arange(4) // 2 == c).astype(v.dtype)
-        w_blk = v[j % n] * smask[:, None]
-        w = from_blocked(w_blk, bg).astype(dtype)
-        out = [restrict_blk(to_blocked(diag_apply(w), bg))]
+        smask = (jnp.arange(2) == c).astype(v.dtype)
+        w_flat = v[j % n] * smask[:, None]    # chirality-c part of v_b
+        w = from_blocked_flat(w_flat, bg).astype(dtype)
+        out = [restrict_blk(to_blocked_flat(diag_apply(w), bg))]
         faces = []
         for d, h in enumerate(hop_terms):
-            hb = to_blocked(h(w), bg)
-            fb = hb * masks[d][:, None, None].astype(hb.dtype)
-            tot = restrict_blk(hb)
-            face = restrict_blk(fb)
+            hf = to_blocked_flat(h(w), bg)
+            ff = hf * masks[d].astype(hf.dtype)
+            tot = restrict_blk(hf)
+            face = restrict_blk(ff)
             out.append(tot - face)                  # intra-aggregate → X
             faces.append(face)                      # cross-aggregate → Y_d
         return jnp.stack(out + faces)   # [1+8+8, 2, n, XC...]

@@ -8,10 +8,9 @@ createCoarseOp → recurse → coarse_solver GCR(maxiter 11, nkrylov 10)
 coarse-solve → prolongate-add → postsmooth), used as the GCR
 preconditioner (interface_quda.cpp:2257, quda.h:225).
 
-Round-1 scope: 2-level MG over the full (non-preconditioned) fine
-operator M; the recursive level structure is in place (coarse-of-coarse
-construction needs a dof-generic Transfer — noted for the next round,
-reference lib/coarsecoarse_op.cu).
+Levels: 2 (default) through 4 — the reference's QUDA_MAX_MG_LEVEL
+(quda_constants.h:44) — via the dof-generic CoarseTransfer recursion
+(reference lib/coarsecoarse_op.cu, MG::MG recursion multigrid.cpp:220).
 """
 
 from __future__ import annotations
@@ -73,11 +72,17 @@ class MGParams:
     coarse2_nkrylov: int = 8          # bottom-level GCR cycle length
     setup2_tol: float = 1e-4
     setup2_maxiter: int = 200
+    # level 3 (n_level = 4 = QUDA_MAX_MG_LEVEL, quda_constants.h:44)
+    block3: tuple = (2, 2, 2, 2)
+    nvec3: int = 16
+    coarse3_nkrylov: int = 8
+    setup3_tol: float = 1e-4
+    setup3_maxiter: int = 150
 
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["transfer", "coarse", "dirac", "transfer2", "coarse2",
-                      "dirac_pr"],
+                      "dirac_pr", "transfer3", "coarse3"],
          meta_fields=["params"])
 @dataclasses.dataclass(frozen=True)
 class MGPreconditioner:
@@ -89,10 +94,24 @@ class MGPreconditioner:
     coarse2: Optional[CoarseOperator] = None
     dirac_pr: Optional[Dirac] = None  # delta-scaled smoother operator
     # (delta_*PR knobs); None = smooth with the outer operator
+    transfer3: Optional[Any] = None   # CoarseTransfer (4-level runs,
+    coarse3: Optional[CoarseOperator] = None   # quda_constants.h:44)
 
     @property
     def _dirac_smooth(self):
         return self.dirac if self.dirac_pr is None else self.dirac_pr
+
+    def _coarse2_vcycle(self, r2):
+        """Level-2 V-cycle correcting through level 3 (the deepest
+        recursion of the reference's 4-level MG, lib/multigrid.cpp:220,
+        QUDA_MAX_MG_LEVEL = 4, quda_constants.h:44)."""
+        p = self.params
+        m2 = self.coarse2.apply
+        r3 = self.transfer3.restrict(r2)
+        x3 = gcr_cycle(self.coarse3.apply, r3, n_krylov=p.coarse3_nkrylov)
+        x2 = self.transfer3.prolong(x3)
+        rr = r2 - m2(x2)
+        return x2 + mr(m2, rr, niter=max(p.nu_post, 1), omega=p.omega)
 
     def _coarse_vcycle(self, r1):
         """Level-1 V-cycle over the coarse operator, correcting through
@@ -103,7 +122,10 @@ class MGPreconditioner:
             if p.nu_pre > 0 else jnp.zeros_like(r1)
         rr = r1 - m1(x1) if p.nu_pre > 0 else r1
         r2 = self.transfer2.restrict(rr)
-        x2 = gcr_cycle(self.coarse2.apply, r2, n_krylov=p.coarse2_nkrylov)
+        precond2 = self._coarse2_vcycle if self.transfer3 is not None \
+            else None
+        x2 = gcr_cycle(self.coarse2.apply, r2, n_krylov=p.coarse2_nkrylov,
+                       precond=precond2)
         x1 = x1 + self.transfer2.prolong(x2)
         rr = r1 - m1(x1)
         return x1 + mr(m1, rr, niter=max(p.nu_post, 1), omega=p.omega)
@@ -196,7 +218,12 @@ def _null_solve(dirac, b, tol, maxiter):
 
 @partial(jax.jit, static_argnames=("bg",))
 def _ortho_blocked(vs, bg):
-    return block_orthonormalize(jnp.stack([to_blocked(v, bg) for v in vs]))
+    """Null vectors → orthonormal V in the FLAT blocked layout
+    (mg/transfer.to_blocked_flat — the production Transfer storage)."""
+    from quda_qkxtm_multigrid_tpu.mg.transfer import (
+        to_blocked_flat, block_orthonormalize_flat)
+    return block_orthonormalize_flat(
+        jnp.stack([to_blocked_flat(v, bg) for v in vs]))
 
 
 @partial(jax.jit, static_argnames=("bg",), donate_argnums=(0,))
@@ -204,14 +231,17 @@ def _ortho_blocked_batched(batches, bg):
     """As _ortho_blocked but over a list of [n_i, ...] batch arrays.
 
     Memory discipline for 32³×64 (the full 24-vector set is ~4.8 GB in
-    c64): the solve batches are DONATED (dead after this program), and
-    the field→blocked layout conversion runs SEQUENTIALLY per vector
-    (lax.map) so its transpose temporaries stay one-vector-sized — a
-    vmapped conversion materialises the whole set twice and OOMs
-    (bisected on-chip r3)."""
+    c64): the solve batches are DONATED (dead after this program), the
+    field→blocked conversion runs SEQUENTIALLY per vector (lax.map) so
+    transpose temporaries stay one-vector-sized, and everything lives
+    in the lane-aligned FLAT blocked layout — the [..,bv,4,3] form gets
+    tile-padded 8-28x by XLA and OOMs at this volume (bisected on-chip
+    r3)."""
+    from quda_qkxtm_multigrid_tpu.mg.transfer import (
+        to_blocked_flat, block_orthonormalize_flat)
     vb = jnp.concatenate(batches) if len(batches) > 1 else batches[0]
-    blk = jax.lax.map(lambda v: to_blocked(v, bg), vb)
-    return block_orthonormalize(blk)
+    flat = jax.lax.map(lambda v: to_blocked_flat(v, bg), vb)
+    return block_orthonormalize_flat(flat)
 
 
 @partial(jax.jit, static_argnames=("geom", "dtype"))
@@ -338,16 +368,22 @@ def setup_mg(dirac: Dirac, params: MGParams, key,
                                  params.delta_csw_coarse)
     coarse = _build_level1(transfer, d_coarse_src)
 
-    transfer2 = coarse2 = None
+    transfer2 = coarse2 = transfer3 = coarse3 = None
     if params.n_level >= 3:
         transfer2, coarse2 = setup_coarse_level(coarse, params, key)
+    if params.n_level >= 4:
+        transfer3, coarse3 = setup_coarse_level(
+            coarse2, params, jax.random.fold_in(key, 3),
+            block=params.block3, nvec=params.nvec3,
+            tol=params.setup3_tol, maxiter=params.setup3_maxiter)
     dirac_pr = _delta_scaled(dirac, params.delta_mu_pr,
                              params.delta_kappa_pr, params.delta_csw_pr)
     return MGPreconditioner(transfer=transfer, coarse=coarse, dirac=dirac,
                             params=params, transfer2=transfer2,
                             coarse2=coarse2,
                             dirac_pr=None if dirac_pr is dirac
-                            else dirac_pr)
+                            else dirac_pr,
+                            transfer3=transfer3, coarse3=coarse3)
 
 
 def setup_mg_pair(dirac_up: Dirac, dirac_dn: Dirac, params: MGParams,
@@ -369,15 +405,21 @@ def setup_mg_pair(dirac_up: Dirac, dirac_dn: Dirac, params: MGParams,
                               params.delta_kappa_coarse,
                               params.delta_csw_coarse)
         coarse = _build_level1(transfer, d_src)
-        transfer2 = coarse2 = None
+        transfer2 = coarse2 = transfer3 = coarse3 = None
         if params.n_level >= 3:
             transfer2, coarse2 = setup_coarse_level(coarse, params, key)
+        if params.n_level >= 4:
+            transfer3, coarse3 = setup_coarse_level(
+                coarse2, params, jax.random.fold_in(key, 3),
+                block=params.block3, nvec=params.nvec3,
+                tol=params.setup3_tol, maxiter=params.setup3_maxiter)
         d_pr = _delta_scaled(d, params.delta_mu_pr, params.delta_kappa_pr,
                              params.delta_csw_pr)
         mgs.append(MGPreconditioner(
             transfer=transfer, coarse=coarse, dirac=d, params=params,
             transfer2=transfer2, coarse2=coarse2,
-            dirac_pr=None if d_pr is d else d_pr))
+            dirac_pr=None if d_pr is d else d_pr,
+            transfer3=transfer3, coarse3=coarse3))
     return tuple(mgs)
 
 
@@ -402,21 +444,28 @@ def _build_level2(transfer2, coarse):
                                          coarse.x.dtype)
 
 
-def setup_coarse_level(coarse: CoarseOperator, params: MGParams, key):
-    """Build the level-2 transfer + coarse-of-coarse operator by the same
-    null-vector aggregation applied to the explicit coarse operator
+def setup_coarse_level(coarse: CoarseOperator, params: MGParams, key,
+                       block=None, nvec=None, tol=None, maxiter=None):
+    """Build the next-level transfer + coarse-of-coarse operator by the
+    same null-vector aggregation applied to the explicit coarse operator
     (reference lib/coarsecoarse_op.cu; null vectors per level,
-    MG::MG recursion multigrid.cpp:220)."""
+    MG::MG recursion multigrid.cpp:220).  Dof-generic: works on ANY
+    CoarseOperator level (the block/nvec/tol knobs default to the
+    level-2 params; setup_mg passes the level-3 set for 4-level runs)."""
     from quda_qkxtm_multigrid_tpu.mg.transfer import (
         CoarseBlockGeometry, CoarseTransfer, to_blocked_coarse,
         block_orthonormalize_coarse)
 
+    block = params.block2 if block is None else block
+    nvec = params.nvec2 if nvec is None else nvec
+    tol = params.setup2_tol if tol is None else tol
+    maxiter = params.setup2_maxiter if maxiter is None else maxiter
     bg1 = coarse.bg
     dtype = coarse.x.dtype
-    bx, by, bz, bt = params.block2
+    bx, by, bz, bt = block
     bg2 = CoarseBlockGeometry(
         fine_shape=bg1.coarse_shape, fine_ns=2, fine_nc=bg1.nvec,
-        bx=bx, by=by, bz=bz, bt=bt, nvec=params.nvec2)
+        bx=bx, by=by, bz=bz, bt=bt, nvec=nvec)
 
     fshape = (2, bg1.nvec) + bg1.coarse_shape
 
@@ -426,11 +475,10 @@ def setup_coarse_level(coarse: CoarseOperator, params: MGParams, key):
             jnp.stack([to_blocked_coarse(v, bg2_) for v in vs]))
 
     vs = []
-    for i in range(params.nvec2):
+    for i in range(nvec):
         key, sub = jax.random.split(key)
         b = _random_coarse(sub, fshape, dtype)
-        vs.append(_coarse_null_solve(coarse, b, params.setup2_tol,
-                                     params.setup2_maxiter))
+        vs.append(_coarse_null_solve(coarse, b, tol, maxiter))
     transfer2 = CoarseTransfer(v=_ortho2(vs, bg2), bg=bg2)
     coarse2 = _build_level2(transfer2, coarse)
     return transfer2, coarse2

@@ -95,6 +95,37 @@ def _chiral_split(blk):
     return blk.reshape(blk.shape[:-2] + (2, 2, 3))
 
 
+# --- flat (chirality-major, lane-aligned) blocked layout ----------------
+# The PRODUCTION blocked layout: [Tc,Zc,Yc,Xc, 2(ch), bdof] with
+# bdof = block_volume*2*3 flattened (bv-major, spin, color minor).  The
+# minor dim (1536 at 4⁴ blocking) is an exact lane multiple, so V and
+# every blocked intermediate tile perfectly and restrict/prolong become
+# MXU-shaped [nvec × bdof] contractions.  The [.., bv, 4, 3] form gives
+# XLA (4,3)- or 16-wide minor dims that it pads to the (8,128) tile —
+# an 8-28x HBM expansion that OOMs 32³×64 MG setup (bisected on-chip).
+
+
+def to_blocked_flat(psi, bg: BlockGeometry):
+    """[2,4,3,T,Z,W] → [Tc,Zc,Yc,Xc, 2(ch), bv*6]."""
+    blk = _chiral_split(to_blocked(psi, bg))   # [XC.., bv, ch, s, 3]
+    blk = jnp.moveaxis(blk, -3, -4)            # [XC.., ch, bv, s, 3]
+    return blk.reshape(blk.shape[:4] + (2, bg.block_volume * 6))
+
+
+def from_blocked_flat(flat, bg: BlockGeometry):
+    r = flat.reshape(flat.shape[:4] + (2, bg.block_volume, 2, 3))
+    r = jnp.moveaxis(r, -4, -3)                # [XC.., bv, ch, s, 3]
+    return from_blocked(r.reshape(r.shape[:4] + (bg.block_volume, 4, 3)),
+                        bg)
+
+
+def block_orthonormalize_flat(v_flat):
+    """CholQR² over the leading nvec axis of the flat blocked layout
+    [nvec, Tc,Zc,Yc,Xc, 2, bdof] — every non-last axis is an independent
+    orthonormalisation block (aggregate site × chirality)."""
+    return _cholqr(v_flat)
+
+
 def _block_gs(v, axes):
     """Modified Gram-Schmidt over the leading (nvec) axis, inner product
     summed over ``axes``; all other axes (aggregate site, chirality) are
@@ -159,25 +190,25 @@ def block_orthonormalize(v_blocked):
          meta_fields=["bg"])
 @dataclasses.dataclass(frozen=True)
 class Transfer:
-    """Packed aggregate matrix V (orthonormal per aggregate+chirality)."""
+    """Packed aggregate matrix V (orthonormal per aggregate+chirality),
+    stored in the FLAT blocked layout (see to_blocked_flat): the minor
+    bdof axis is lane-aligned and restrict/prolong are MXU-shaped
+    [nvec × bdof] contractions per aggregate."""
 
-    v: Any                      # [nvec, Tc,Zc,Yc,Xc, bv, 4, 3]
+    v: Any                      # [nvec, Tc,Zc,Yc,Xc, 2(ch), bv*6]
     bg: BlockGeometry
 
     def restrict(self, psi):
         """fine [2,4,3,T,Z,W] → coarse [2(ch), nvec, Tc,Zc,Yc,Xc]
         (reference Transfer::R, transfer.h:188)."""
-        blk = _chiral_split(to_blocked(psi, self.bg))  # [...,bv,2,2,3]
-        v = _chiral_split(self.v)                      # [n,...,bv,2,2,3]
-        return heinsum("n...bcsa,...bcsa->cn...", jnp.conj(v), blk)
+        flat = to_blocked_flat(psi, self.bg)           # [..., ch, d]
+        return heinsum("n...cd,...cd->cn...", jnp.conj(self.v), flat)
 
     def prolong(self, vc):
         """coarse [2, nvec, Tc,Zc,Yc,Xc] → fine [2,4,3,T,Z,W]
         (reference Transfer::P, transfer.h:181)."""
-        v = _chiral_split(self.v)
-        blk = heinsum("n...bcsa,cn...->...bcsa", v, vc)
-        blk = blk.reshape(blk.shape[:-3] + (4, 3))
-        return from_blocked(blk, self.bg)
+        flat = heinsum("n...cd,cn...->...cd", self.v, vc)
+        return from_blocked_flat(flat, self.bg)
 
     def flops(self) -> int:
         """8 * nvec * fine-dof per site (reference transfer.cpp R flops)."""

@@ -331,10 +331,10 @@ def _kernel_v5(geom: Geometry, dagger: bool, parity: int,
             return lambda idx: ref[0, idx]
 
         def store(idx, val):
-            out_ref[0, idx] = val
+            out_ref[0, idx] = val.astype(out_ref.dtype)
 
         def store2(idx, val):
-            out2_ref[0, idx] = val
+            out2_ref[0, idx] = val.astype(out2_ref.dtype)
 
         _plane_body(geom, dagger, parity, recon12, bf16, twist, xpay_coef,
                     clover, pl.program_id(0), _mk(psi_c), _mk(psi_tp),
@@ -387,10 +387,10 @@ def _kernel_slab(geom: Geometry, dagger: bool, parity: int,
             ld_tm = _mk(psi_s, tt - 1) if tt - 1 >= 0 else _mk(psi_tm, 0)
 
             def store(idx, val, tt=tt):
-                out_ref[tt, idx] = val
+                out_ref[tt, idx] = val.astype(out_ref.dtype)
 
             def store2(idx, val, tt=tt):
-                out2_ref[tt, idx] = val
+                out2_ref[tt, idx] = val.astype(out2_ref.dtype)
 
             _plane_body(
                 geom, dagger, parity, recon12, bf16, twist, xpay_coef,
@@ -410,13 +410,20 @@ def dslash_ch_pallas5(g_ch, psi_ch, parity: int, geom: Geometry,
                       twist: tuple | None = None,
                       xpay_coef: float | None = None, x_ch=None,
                       clover: str | None = None, cinv_ch=None,
-                      recon8: bool = False, post_op=None):
+                      recon8: bool = False, post_op=None,
+                      out_dtype=jnp.float32):
     """Channel-domain v5: psi_ch/g_ch/x_ch already in planar-channel
     layout ([T, 24, Z, W] / [T, 96|144, Z, W]), output [T, 24, Z, W]
     f32.  Solver hot loops stay in this layout end-to-end — the
     complex↔planar conversions are real HBM passes (~384 B/site per
     call) that put the naive wrapper at the DMA floor; keeping the
-    chain in channel form removes them entirely."""
+    chain in channel form removes them entirely.
+
+    out_dtype=jnp.bfloat16 (with bf16 psi_ch/x_ch and bf16=True) is the
+    bf16-SPINOR storage tier — the QUDA-half spinor analogue
+    (enum_quda.h:55-62) without the per-site norm array (bf16 shares
+    f32's exponent range, so fixed-point scaling is unnecessary);
+    compute stays f32 inside the kernel."""
     T, Z, W = geom.T, geom.Z, geom.W
     ng = 64 if recon8 else (96 if recon12 else 144)
 
@@ -440,7 +447,7 @@ def dslash_ch_pallas5(g_ch, psi_ch, parity: int, geom: Geometry,
         in_specs.append(pspec(lambda i: (i, 0, 0, 0)))
     ospec = pl.BlockSpec((1, 24, Z, W), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    oshape = jax.ShapeDtypeStruct((T, 24, Z, W), jnp.float32)
+    oshape = jax.ShapeDtypeStruct((T, 24, Z, W), out_dtype)
     return pl.pallas_call(
         kernel,
         grid=(T,),
@@ -460,7 +467,7 @@ def dslash_ch_pallas5_slab(g_ch, psi_ch, parity: int, geom: Geometry,
                            xpay_coef: float | None = None, x_ch=None,
                            clover: str | None = None, cinv_ch=None,
                            tb: int = 4, recon8: bool = False,
-                           post_op=None):
+                           post_op=None, out_dtype=jnp.float32):
     """Slab-blocked v5 (same semantics/operands as dslash_ch_pallas5):
     grid of T/tb steps, each computing a (tb, 24, Z, W) output slab from
     the matching psi/gauge/clover slabs plus ONE t-halo plane per side.
@@ -492,7 +499,7 @@ def dslash_ch_pallas5_slab(g_ch, psi_ch, parity: int, geom: Geometry,
     if xpay_coef is not None:
         ins.append(x_ch)
         in_specs.append(slab(24))
-    oshape = jax.ShapeDtypeStruct((T, 24, Z, W), jnp.float32)
+    oshape = jax.ShapeDtypeStruct((T, 24, Z, W), out_dtype)
     return pl.pallas_call(
         kernel,
         grid=(nslab,),

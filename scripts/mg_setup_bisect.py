@@ -24,7 +24,8 @@ if os.environ.get("JAX_PLATFORMS", "") == "cpu":
 
 import jax.numpy as jnp
 
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from quda_qkxtm_multigrid_tpu import enable_compile_cache
+enable_compile_cache(min_secs=1.0)
 
 from quda_qkxtm_multigrid_tpu.lattice import Geometry
 from quda_qkxtm_multigrid_tpu.benchmarks import _make

@@ -5,7 +5,8 @@ are ordered by value so a mid-session tunnel death still yields the
 most important numbers first."""
 import json, time, sys
 import jax, jax.numpy as jnp
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from quda_qkxtm_multigrid_tpu import enable_compile_cache
+enable_compile_cache(min_secs=1.0)
 from quda_qkxtm_multigrid_tpu.lattice import Geometry
 
 

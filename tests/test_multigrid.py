@@ -27,9 +27,12 @@ def _dirac(seed=0, **kw):
 
 
 def _transfer(seed=1):
+    from quda_qkxtm_multigrid_tpu.mg.transfer import (
+        to_blocked_flat, block_orthonormalize_flat)
     vs = [rng.random_spinor(jax.random.PRNGKey(seed + i), GEOM)
           for i in range(BG.nvec)]
-    v = block_orthonormalize(jnp.stack([to_blocked(x, BG) for x in vs]))
+    v = block_orthonormalize_flat(
+        jnp.stack([to_blocked_flat(x, BG) for x in vs]))
     return Transfer(v=v, bg=BG)
 
 
@@ -44,14 +47,23 @@ class TestBlocking:
 
     def test_block_orthonormal(self):
         t = _transfer()
-        v = np.asarray(t.v).reshape(
-            (BG.nvec,) + BG.coarse_shape + (BG.block_volume, 2, 2, 3))
-        # inner products within each (aggregate, chirality)
-        gram = np.einsum("m...bcsa,n...bcsa->cmn...",
-                         v.conj(), v)
+        # flat layout [nvec, XC..., 2(ch), bdof]: inner products within
+        # each (aggregate, chirality) = contraction over bdof only
+        v = np.asarray(t.v)
+        gram = np.einsum("m...cd,n...cd->cmn...", v.conj(), v)
         eye = np.eye(BG.nvec).reshape(1, BG.nvec, BG.nvec, 1, 1, 1, 1)
         np.testing.assert_allclose(gram, np.broadcast_to(eye, gram.shape),
                                    atol=1e-10)
+
+    def test_blocked_flat_roundtrip(self):
+        from quda_qkxtm_multigrid_tpu.mg.transfer import (
+            to_blocked_flat, from_blocked_flat)
+        psi = rng.random_spinor(jax.random.PRNGKey(4), GEOM)
+        flat = to_blocked_flat(psi, BG)
+        assert flat.shape == BG.coarse_shape + (2, BG.block_volume * 6)
+        back = from_blocked_flat(flat, BG)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(psi),
+                                   atol=1e-14)
 
     def test_restrict_prolong_adjoint(self):
         """<R psi, vc> == <psi, P vc>."""
@@ -281,3 +293,32 @@ def test_cholqr_matches_mgs_oracle():
     new2 = block_orthonormalize_coarse(v2)
     ref2 = _block_gs(v2, axes=(-3, -1))
     assert float(jnp.max(jnp.abs(new2 - ref2))) < 1e-10
+
+
+class TestFourLevel:
+    def test_galerkin_level3_and_solve(self):
+        """4-level MG (QUDA_MAX_MG_LEVEL, quda_constants.h:44):
+        coarse3 == R3(coarse2(P3)) Galerkin consistency, and the 4-level
+        preconditioned solve converges."""
+        d = _dirac(4, kind="twisted-mass", kappa=0.12, mu=0.05)
+        params = MGParams(block=(2, 2, 2, 2), nvec=4, setup_maxiter=50,
+                          setup_tol=1e-3, n_level=4,
+                          block2=(1, 1, 1, 2), nvec2=3, setup2_maxiter=50,
+                          block3=(2, 1, 1, 1), nvec3=2, setup3_maxiter=30)
+        mg = setup_mg(d, params, jax.random.PRNGKey(31))
+        assert mg.transfer3 is not None and mg.coarse3 is not None
+        c3shape = (2, params.nvec3) + mg.transfer3.bg.coarse_shape
+        vc3 = (jax.random.normal(jax.random.PRNGKey(32), c3shape)
+               + 1j * jax.random.normal(jax.random.PRNGKey(33), c3shape))
+        lhs = mg.coarse3.apply(vc3)
+        rhs = mg.transfer3.restrict(
+            mg.coarse2.apply(mg.transfer3.prolong(vc3)))
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   atol=1e-10)
+        geom4 = d.geom
+        b = rng.random_spinor(jax.random.PRNGKey(34), geom4)
+        out = mg_solve(mg, b, tol=1e-7, n_krylov=8, max_restarts=30)
+        r = b - d.m(out.x)
+        relres = float(jnp.linalg.norm(r.ravel())
+                       / jnp.linalg.norm(b.ravel()))
+        assert relres < 1e-5, relres
