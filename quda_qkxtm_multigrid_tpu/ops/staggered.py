@@ -23,9 +23,26 @@ import numpy as np
 import jax.numpy as jnp
 
 from quda_qkxtm_multigrid_tpu.lattice import Geometry, gather_neighbor
-from quda_qkxtm_multigrid_tpu.ops.smallmat import su3_mul, su3_dag_mul
+from quda_qkxtm_multigrid_tpu.ops.smallmat import (
+    su3_mul, su3_dag_mul, mat_mul, mat_dag)
 
 STAGGERED_DSLASH_FLOPS_PER_SITE = 570   # reference lib/dirac_staggered.cpp
+
+# Asqtad path coefficients (MILC asqtad_action.h conventions; the
+# reference consumes them as act_path_coeff[6] in
+# lib/llfat_quda.cu / computeKSLinkQuda, interface_quda.cpp:4401):
+#   one-link 5/8 = 1/8 (fat7) + 3/8 (Lepage backtrack correction)
+#                + 1/8 (Naik correction)
+#   3-staple -1/16, 5-staple 1/64, 7-staple -1/384, Lepage -1/16,
+#   Naik -1/24.
+ASQTAD_COEFFS = {
+    "one_link": 5.0 / 8.0,
+    "three_staple": -1.0 / 16.0,
+    "five_staple": 1.0 / 64.0,
+    "seven_staple": -1.0 / 384.0,
+    "lepage": -1.0 / 16.0,
+    "naik": -1.0 / 24.0,
+}
 
 
 def staggered_phases(geom: Geometry, antiperiodic_t: bool = True):
@@ -54,6 +71,91 @@ def apply_staggered_phases(u, geom: Geometry, antiperiodic_t: bool = True):
     """Fold the eta phases into the links (staggeredPhaseQuda analogue)."""
     ph = jnp.asarray(staggered_phases(geom, antiperiodic_t), u.real.dtype)
     return u * ph[:, :, None, None]
+
+
+def gen_staple(u, w, mu: int, nu: int, geom: Geometry):
+    """Generalized staple of a link-like field W in direction mu,
+    displaced through nu (MILC compute_gen_staple / the reference's
+    llfat building block, lib/llfat_quda.cu):
+
+      up:  U_nu(x)        W(x+nu)  U_nu^dag(x+mu)
+      low: U_nu^dag(x-nu) W(x-nu)  U_nu(x-nu+mu)
+
+    ``w`` is [2(parity), 3, 3, T, Z, W] living on the mu-link sites;
+    returns the same shape.  Composing gen_staple builds the 3-, 5-,
+    7-link and Lepage contributions of the asqtad fat link."""
+    per_par = []
+    for p in (0, 1):
+        q = 1 - p
+        up = mat_mul(mat_mul(u[nu, p],
+                             gather_neighbor(w[q], nu, True, p, geom)),
+                     mat_dag(gather_neighbor(u[nu, q], mu, True, p, geom)))
+        u_nu_b = gather_neighbor(u[nu, q], nu, False, p, geom)
+        w_b = gather_neighbor(w[q], nu, False, p, geom)
+        u_nu_bm = gather_neighbor(
+            gather_neighbor(u[nu, p], mu, True, q, geom), nu, False, p, geom)
+        low = mat_mul(mat_mul(mat_dag(u_nu_b), w_b), u_nu_bm)
+        per_par.append(up + low)
+    return jnp.stack(per_par)
+
+
+def naik_links(u, geom: Geometry, coeff: float = ASQTAD_COEFFS["naik"]):
+    """Third-neighbor (Naik) long links
+    L_mu(x) = coeff * U_mu(x) U_mu(x+mu) U_mu(x+2mu)
+    (reference lib/llfat_quda.cu computeLongLink)."""
+    out = []
+    for mu in range(4):
+        per_par = []
+        for p in (0, 1):
+            q = 1 - p
+            u1 = gather_neighbor(u[mu, q], mu, True, p, geom)   # U(x+mu)
+            u2 = gather_neighbor(
+                gather_neighbor(u[mu, p], mu, True, q, geom),
+                mu, True, p, geom)                              # U(x+2mu)
+            per_par.append(coeff * mat_mul(mat_mul(u[mu, p], u1), u2))
+        out.append(jnp.stack(per_par))
+    return jnp.stack(out)
+
+
+def asqtad_links(u, geom: Geometry, coeffs: dict | None = None):
+    """Asqtad fat + long links from the thin gauge field — the
+    computeKSLinkQuda analogue (reference interface_quda.cpp:4401,
+    lib/llfat_quda.cu), following MILC's nested gen_staple composition:
+
+      fat_mu = c1 U_mu + c3 Σ_nu S_nu(U_mu)
+             + c_lep Σ_nu S_nu(S_nu(U_mu))
+             + c5 Σ_{nu,rho} S_rho(S_nu(U_mu))
+             + c7 Σ_{nu,rho,sig} S_sig(S_rho(S_nu(U_mu)))
+
+    (indices pairwise distinct and != mu; the one-link coefficient's
+    +3/8 term compensates the backtracking paths the Lepage composition
+    introduces, exactly as in MILC).  Returns (fat, long), each
+    [4, 2, 3, 3, T, Z, W]; staggered phases are NOT applied — feed the
+    results to apply_staggered_phases for the solver convention."""
+    c = dict(ASQTAD_COEFFS)
+    if coeffs:
+        c.update(coeffs)
+    fat = []
+    for mu in range(4):
+        acc = c["one_link"] * u[mu]
+        for nu in range(4):
+            if nu == mu:
+                continue
+            s3 = gen_staple(u, u[mu], mu, nu, geom)
+            acc = acc + c["three_staple"] * s3
+            acc = acc + c["lepage"] * gen_staple(u, s3, mu, nu, geom)
+            for rho in range(4):
+                if rho in (mu, nu):
+                    continue
+                s5 = gen_staple(u, s3, mu, rho, geom)
+                acc = acc + c["five_staple"] * s5
+                for sig in range(4):
+                    if sig in (mu, nu, rho):
+                        continue
+                    acc = acc + c["seven_staple"] * gen_staple(
+                        u, s5, mu, sig, geom)
+        fat.append(acc)
+    return jnp.stack(fat), naik_links(u, geom, c["naik"])
 
 
 def shift3(f_opp, mu: int, forward: bool, parity: int, geom: Geometry):

@@ -140,3 +140,67 @@ class TestDomainWall:
         r = b - mat(res.x)
         assert float(jnp.linalg.norm(r.ravel())
                      / jnp.linalg.norm(b.ravel())) < 1e-7
+
+
+class TestAsqtadLinks:
+    """Asqtad fat/long construction (computeKSLinkQuda analogue,
+    reference interface_quda.cpp:4401, lib/llfat_quda.cu)."""
+
+    def test_unit_gauge_coefficients(self):
+        """On unit gauge every path product is the identity, so
+        fat = [c1 + 6 c3 + 12 c_lep + 24 c5 + 48 c7] I = -1/4 I and
+        long = c_naik I (each gen_staple doubles: up+down)."""
+        u = rng.unit_gauge(GEOM)
+        fat, lng = st.asqtad_links(u, GEOM)
+        c = st.ASQTAD_COEFFS
+        expect = (c["one_link"] + 6 * c["three_staple"] + 12 * c["lepage"]
+                  + 24 * c["five_staple"] + 48 * c["seven_staple"])
+        assert abs(expect - (-0.25)) < 1e-14
+        eye = np.eye(3)
+        got = np.asarray(fat)
+        want = expect * np.broadcast_to(
+            eye.reshape(1, 1, 3, 3, 1, 1, 1), got.shape)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(lng),
+            c["naik"] * np.broadcast_to(
+                eye.reshape(1, 1, 3, 3, 1, 1, 1), got.shape), atol=1e-12)
+
+    def test_gauge_covariance(self):
+        """fat(U^g)_mu(x) = g(x) fat(U)_mu(x) g^dag(x+mu), and the same
+        for the Naik links with g^dag(x+3mu) — the defining structural
+        property of any smeared-link construction."""
+        from quda_qkxtm_multigrid_tpu.ops.gauge import gauge_transform
+        from quda_qkxtm_multigrid_tpu.lattice import gather_neighbor
+        from quda_qkxtm_multigrid_tpu.ops.smallmat import mat_mul, mat_dag
+        u = _u(11)
+        g = jnp.moveaxis(
+            rng.random_su3(jax.random.PRNGKey(12), (2,) + GEOM.lat_shape),
+            (0, 1), (1, 2))                      # [2,3,3,T,Z,W]
+        ug = gauge_transform(u, g, GEOM)
+        fat_g, lng_g = st.asqtad_links(ug, GEOM)
+        fat, lng = st.asqtad_links(u, GEOM)
+        for mu in range(4):
+            for p in (0, 1):
+                g_f = gather_neighbor(g[1 - p], mu, True, p, GEOM)
+                want = mat_mul(mat_mul(g[p], fat[mu, p]), mat_dag(g_f))
+                np.testing.assert_allclose(np.asarray(fat_g[mu, p]),
+                                           np.asarray(want), atol=1e-11)
+                # g(x+3mu) at parity-p sites: psi(x+3mu) with the field
+                # stored on the opposite parity — exactly shift3's job
+                g3 = st.shift3(g[1 - p], mu, True, p, GEOM)
+                want_l = mat_mul(mat_mul(g[p], lng[mu, p]), mat_dag(g3))
+                np.testing.assert_allclose(np.asarray(lng_g[mu, p]),
+                                           np.asarray(want_l), atol=1e-11)
+
+    def test_improved_operator_antihermitian(self):
+        """The improved (fat+long) D is anti-hermitian after phases."""
+        u = _u(13)
+        fat, lng = st.asqtad_links(u, GEOM)
+        fat = st.apply_staggered_phases(fat, GEOM)
+        lng = st.apply_staggered_phases(lng, GEOM)
+        x, y = _stag_field(14), _stag_field(15)
+        dx = st.staggered_mat(fat, x, 0.0, GEOM, long_links=lng)
+        dy = st.staggered_mat(fat, y, 0.0, GEOM, long_links=lng)
+        np.testing.assert_allclose(complex(jnp.vdot(y, dx)),
+                                   complex(-jnp.vdot(dy, x)), rtol=1e-10)
