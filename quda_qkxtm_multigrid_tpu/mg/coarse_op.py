@@ -148,7 +148,7 @@ def build_coarse_op_direct(transfer: "Transfer", diag_apply: Callable,
     bg = transfer.bg
     n, dof = bg.nvec, bg.coarse_dof
     cshape = bg.coarse_shape
-    v = transfer.v                            # FLAT: [n, XC..., 2, bv*6]
+    v = transfer.v                    # FLAT agg-major: [2, XC.., n, bv*6]
     vconj = jnp.conj(v)
     # face masks per intra-block site, expanded to the flat bdof axis
     # (bv-major, 6 spin-color entries per site)
@@ -159,13 +159,13 @@ def build_coarse_op_direct(transfer: "Transfer", diag_apply: Callable,
         batch = 8 if vol <= 600_000 else (4 if vol <= 2_200_000 else 2)
 
     def restrict_blk(hf):
-        """flat blocked fine [XC..., 2, bdof] → coarse [2(ch), n, XC]."""
-        return heinsum("n...cd,...cd->cn...", vconj, hf)
+        """flat blocked fine [2(ch), XC.., bdof] → coarse [2, n, XC]."""
+        return heinsum("c...nd,c...d->cn...", vconj, hf)
 
     def cols_one(j):
         c = j // n
         smask = (jnp.arange(2) == c).astype(v.dtype)
-        w_flat = v[j % n] * smask[:, None]    # chirality-c part of v_b
+        w_flat = v[..., j % n, :] * smask.reshape(2, 1, 1, 1, 1, 1)
         w = from_blocked_flat(w_flat, bg).astype(dtype)
         out = [restrict_blk(to_blocked_flat(diag_apply(w), bg))]
         faces = []

@@ -226,22 +226,40 @@ def _ortho_blocked(vs, bg):
         jnp.stack([to_blocked_flat(v, bg) for v in vs]))
 
 
-@partial(jax.jit, static_argnames=("bg",), donate_argnums=(0,))
 def _ortho_blocked_batched(batches, bg):
-    """As _ortho_blocked but over a list of [n_i, ...] batch arrays.
+    """As _ortho_blocked but over a list of [n_i, ...] batch arrays —
+    the 32³×64-capable HOST-LEVEL sequence (the full 24-vector set is
+    ~4.8 GB in c64 and every single-program formulation tried acquires
+    an 8x tile-padded layout copy on this backend — bisected on-chip
+    r3, /tmp/probe2-5):
 
-    Memory discipline for 32³×64 (the full 24-vector set is ~4.8 GB in
-    c64): the solve batches are DONATED (dead after this program), the
-    field→blocked conversion runs SEQUENTIALLY per vector (lax.map) so
-    transpose temporaries stay one-vector-sized, and everything lives
-    in the lane-aligned FLAT blocked layout — the [..,bv,4,3] form gets
-    tile-padded 8-28x by XLA and OOMs at this volume (bisected on-chip
-    r3)."""
+      1. one zeros program allocates the aggregate-major accumulator
+         V [2, XC.., nvec, bdof] (its (24, 1536) minor pair is
+         tile-exact under any boundary layout);
+      2. one small conversion program per vector (traced once) converts
+         batch[j] → flat blocked and dynamic-update-slices it into the
+         DONATED accumulator — per-vector transpose temporaries are
+         ~200 MB even when the compiler pads them;
+      3. two donated cholqr_pass programs (CholQR², 3D operands only).
+    """
     from quda_qkxtm_multigrid_tpu.mg.transfer import (
-        to_blocked_flat, block_orthonormalize_flat)
-    vb = jnp.concatenate(batches) if len(batches) > 1 else batches[0]
-    flat = jax.lax.map(lambda v: to_blocked_flat(v, bg), vb)
-    return block_orthonormalize_flat(flat)
+        to_blocked_flat, cholqr_pass)
+    n = sum(int(b.shape[0]) for b in batches)
+    dtype = batches[0].dtype
+    shape = (2,) + bg.coarse_shape + (n, bg.block_volume * 6)
+
+    V = jax.jit(lambda: jnp.zeros(shape, dtype))()
+    conv = jax.jit(
+        lambda V, b, i, j: jax.lax.dynamic_update_slice_in_dim(
+            V, to_blocked_flat(b[j], bg)[..., None, :], i, axis=-2),
+        donate_argnums=(0,))
+    i = 0
+    for b in batches:
+        for j in range(int(b.shape[0])):
+            V = conv(V, b, i, j)
+            i += 1
+    qr = jax.jit(cholqr_pass, donate_argnums=(0,))
+    return qr(qr(V))
 
 
 @partial(jax.jit, static_argnames=("geom", "dtype"))

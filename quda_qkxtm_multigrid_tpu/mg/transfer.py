@@ -95,35 +95,47 @@ def _chiral_split(blk):
     return blk.reshape(blk.shape[:-2] + (2, 2, 3))
 
 
-# --- flat (chirality-major, lane-aligned) blocked layout ----------------
-# The PRODUCTION blocked layout: [Tc,Zc,Yc,Xc, 2(ch), bdof] with
-# bdof = block_volume*2*3 flattened (bv-major, spin, color minor).  The
-# minor dim (1536 at 4⁴ blocking) is an exact lane multiple, so V and
-# every blocked intermediate tile perfectly and restrict/prolong become
-# MXU-shaped [nvec × bdof] contractions.  The [.., bv, 4, 3] form gives
-# XLA (4,3)- or 16-wide minor dims that it pads to the (8,128) tile —
-# an 8-28x HBM expansion that OOMs 32³×64 MG setup (bisected on-chip).
+# --- flat (chirality-LEADING, lane-aligned) blocked layout --------------
+# The PRODUCTION blocked layout: [2(ch), Tc,Zc,Yc,Xc, bdof] with
+# bdof = block_volume*2*3 flattened (bv-major, spin, color minor).  Two
+# layout rules both matter on TPU:
+#   (1) the minor dim (1536 at 4⁴ blocking) is an exact lane multiple,
+#       so restrict/prolong become MXU-shaped [nvec × bdof] contractions
+#       (the [.., bv, 4, 3] form gives XLA (4,3)/16-wide minor dims it
+#       pads to the (8,128) tile — an 8-28x HBM expansion);
+#   (2) the chirality axis must NOT sit second-minor: program-BOUNDARY
+#       arrays get the default descending layout, and a [..., 2, 1536]
+#       boundary tile-pads the 2-axis to 8 — a 4x expansion that OOMed
+#       the 32³×64 conversion program outright (bisected on-chip r3,
+#       /tmp/ortho_probe variants a-d all failing in the map-convert).
+#       Leading ch gives boundary minor dims (Xc, bdof) = (8, 1536):
+#       tile-exact.
 
 
 def to_blocked_flat(psi, bg: BlockGeometry):
-    """[2,4,3,T,Z,W] → [Tc,Zc,Yc,Xc, 2(ch), bv*6]."""
+    """[2,4,3,T,Z,W] → [2(ch), Tc,Zc,Yc,Xc, bv*6]."""
     blk = _chiral_split(to_blocked(psi, bg))   # [XC.., bv, ch, s, 3]
-    blk = jnp.moveaxis(blk, -3, -4)            # [XC.., ch, bv, s, 3]
-    return blk.reshape(blk.shape[:4] + (2, bg.block_volume * 6))
+    blk = jnp.moveaxis(blk, -3, 0)             # [ch, XC.., bv, s, 3]
+    return blk.reshape((2,) + blk.shape[1:5] + (bg.block_volume * 6,))
 
 
 def from_blocked_flat(flat, bg: BlockGeometry):
-    r = flat.reshape(flat.shape[:4] + (2, bg.block_volume, 2, 3))
-    r = jnp.moveaxis(r, -4, -3)                # [XC.., bv, ch, s, 3]
+    r = flat.reshape((2,) + flat.shape[1:5] + (bg.block_volume, 2, 3))
+    r = jnp.moveaxis(r, 0, -3)                 # [XC.., bv, ch, s, 3]
     return from_blocked(r.reshape(r.shape[:4] + (bg.block_volume, 4, 3)),
                         bg)
 
 
-def block_orthonormalize_flat(v_flat):
-    """CholQR² over the leading nvec axis of the flat blocked layout
-    [nvec, Tc,Zc,Yc,Xc, 2, bdof] — every non-last axis is an independent
-    orthonormalisation block (aggregate site × chirality)."""
-    return _cholqr(v_flat)
+def block_orthonormalize_flat(v_stacked):
+    """CholQR² of stacked flat null vectors: [nvec, 2, Tc,Zc,Yc,Xc, bdof]
+    → the PRODUCTION aggregate-major V storage
+    [2, Tc,Zc,Yc,Xc, nvec, bdof] (every (aggregate, chirality) an
+    independent orthonormalisation block).  Aggregate-major with the
+    (nvec, bdof) = (24, 1536) minor pair is tile-exact under any layout
+    XLA picks at a program boundary — the vector-major form kept
+    acquiring transposed 8x-padded copies on-chip (r3 bisect)."""
+    v = jnp.moveaxis(v_stacked, 0, -2)        # [2, XC.., n, d]
+    return cholqr_pass(cholqr_pass(v))
 
 
 def _block_gs(v, axes):
@@ -145,6 +157,28 @@ def _block_gs(v, axes):
     return jnp.stack(ortho)
 
 
+def cholqr_pass(v):
+    """One CholQR pass over the aggregate-major stack [..., n, d]:
+    G = V†V per batch row, V ← V L^{-dag}.  All big operands stay 3D
+    [A, n, d] with tile-exact dims; only [A, n, n] factors reach the
+    Cholesky/TriangularSolve custom calls (the full-size-operand and
+    7-axis forms both acquire 8x tile-padded layout copies on this
+    backend — bisected on-chip r3, /tmp/probe4-5)."""
+    shp = v.shape
+    n, d = shp[-2], shp[-1]
+    v = v.reshape(-1, n, d)
+    g = heinsum("amd,and->amn", jnp.conj(v), v)
+    l = jnp.linalg.cholesky(g)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+           ).astype(v.dtype)
+    linv = jax.scipy.linalg.solve_triangular(
+        l, jnp.broadcast_to(eye, l.shape), lower=True)
+    # (V L^{-dag})[n] = sum_m V[m] conj(L^{-1})[n, m]
+    v = heinsum("amd,anm->and", v, jnp.conj(linv))
+    return v.reshape(shp)
+
+
 def _cholqr(v, passes: int = 2):
     """CholQR² block orthonormalisation of v [n, ..., d] over the
     leading axis, inner products over the LAST axis: G = V†V = L L†,
@@ -156,23 +190,27 @@ def _cholqr(v, passes: int = 2):
     minor-most and lane-aligned, where the sequential MGS holds O(n)
     full-size temporaries and its tiny-minor-dims einsums get padded
     to the (8,128) tile (a 32³×64 HBM OOM, bisected on-chip r3)."""
-    n = v.shape[0]
+    shp = v.shape
+    n, d = shp[0], shp[-1]
+    # Flatten every batch axis to ONE: with the 7-axis blocked shape,
+    # XLA's TPU layout assignment picks a transposed operand layout for
+    # the gram dot whose (8,128) tile padding is an 8x HBM expansion
+    # (38 GB at 32³×64 nvec=24, bisected on-chip r3); as a plain 3D
+    # batched matmul the operand copy target is the natural
+    # (nvec, bdof)-minor layout, which is tile-exact.
+    v = v.reshape(n, -1, d)
     for _ in range(passes):
-        g = heinsum("m...d,n...d->...mn", jnp.conj(v), v)
+        g = heinsum("mad,nad->amn", jnp.conj(v), v)
         l = jnp.linalg.cholesky(g)
-        # Invert L on the SMALL [..., n, n] system and apply it to V as
-        # an einsum: feeding the full-size V into the TriangularSolve
-        # custom call makes XLA materialise a transposed-layout copy of
-        # V whose (8,128) tile padding is an 8x HBM expansion — a
-        # 19.3 GB allocation at 32³×64 nvec=24 (bisected on-chip r3).
-        # The einsum keeps V in its natural lane-aligned layout (MXU
-        # matmul per aggregate), and only [..., 24, 24] factors reach
-        # the custom call.
+        # Invert L on the SMALL [a, n, n] system and apply it to V as a
+        # batched matmul: feeding the full-size V into the
+        # TriangularSolve custom call materialises another bad-layout
+        # copy; here only [a, 24, 24] factors reach the custom call.
         eye = jnp.broadcast_to(jnp.eye(n, dtype=l.dtype), l.shape)
         linv = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
         # (V L^{-dag})[n] = sum_m V[m] conj(L^{-1})[n, m]
-        v = heinsum("m...d,...nm->n...d", v, jnp.conj(linv))
-    return v
+        v = heinsum("mad,anm->nad", v, jnp.conj(linv))
+    return v.reshape(shp)
 
 
 def block_orthonormalize(v_blocked):
@@ -201,23 +239,24 @@ def block_orthonormalize(v_blocked):
 @dataclasses.dataclass(frozen=True)
 class Transfer:
     """Packed aggregate matrix V (orthonormal per aggregate+chirality),
-    stored in the FLAT blocked layout (see to_blocked_flat): the minor
-    bdof axis is lane-aligned and restrict/prolong are MXU-shaped
-    [nvec × bdof] contractions per aggregate."""
+    stored AGGREGATE-MAJOR in the flat blocked layout (see
+    block_orthonormalize_flat): the (nvec, bdof) minor pair is
+    tile-exact at every program boundary and restrict/prolong are
+    MXU-shaped [nvec × bdof] contractions per aggregate."""
 
-    v: Any                      # [nvec, Tc,Zc,Yc,Xc, 2(ch), bv*6]
+    v: Any                      # [2(ch), Tc,Zc,Yc,Xc, nvec, bv*6]
     bg: BlockGeometry
 
     def restrict(self, psi):
         """fine [2,4,3,T,Z,W] → coarse [2(ch), nvec, Tc,Zc,Yc,Xc]
         (reference Transfer::R, transfer.h:188)."""
-        flat = to_blocked_flat(psi, self.bg)           # [..., ch, d]
-        return heinsum("n...cd,...cd->cn...", jnp.conj(self.v), flat)
+        flat = to_blocked_flat(psi, self.bg)           # [ch, XC.., d]
+        return heinsum("c...nd,c...d->cn...", jnp.conj(self.v), flat)
 
     def prolong(self, vc):
         """coarse [2, nvec, Tc,Zc,Yc,Xc] → fine [2,4,3,T,Z,W]
         (reference Transfer::P, transfer.h:181)."""
-        flat = heinsum("n...cd,cn...->...cd", self.v, vc)
+        flat = heinsum("c...nd,cn...->c...d", self.v, vc)
         return from_blocked_flat(flat, self.bg)
 
     def flops(self) -> int:

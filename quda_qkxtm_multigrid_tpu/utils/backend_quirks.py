@@ -27,6 +27,21 @@ executable contract:
       documents it and the probe in scripts/quirk_probe.py detects a
       backend fix.
 
+  Q5  layout blow-up on big multi-axis arrays — XLA:TPU layout
+      assignment freely picks transposed layouts for >3-axis
+      intermediates/parameters, and the (8,128) tile then pads any
+      small second-minor/minor physical dim (observed: 8x = 38 GB on
+      the 32³×64 null-vector stack; LayoutConstraint custom calls are
+      rejected by this backend's x64-rewrite pass, so layouts cannot
+      be pinned).  Contract: any array ≳1 GB that crosses a program
+      boundary or feeds a dot must be shaped so EVERY dim ≥ 8 is a
+      multiple of 8 and plausible minor dims are multiples of 128
+      (then every layout choice is tile-exact), and conversions into
+      such arrays run as per-item programs accumulating into a donated
+      buffer → ``assert_tile_exact``; production instance:
+      mg/transfer.block_orthonormalize_flat + mg/multigrid.
+      _ortho_blocked_batched.
+
 Each helper is correct on EVERY backend (CPU/TPU), so call sites need
 no branching; ``scripts/quirk_probe.py`` runs the raw (un-worked-
 around) patterns on the real chip and reports which quirks still
@@ -116,3 +131,30 @@ def assert_split_programs(resid_fn, step_fn):
             "Q4 violation: residual and correction must be separate jit "
             "programs on the axon backend (see mg/multigrid.py)")
     return resid_fn, step_fn
+
+
+# --- Q5: tile-exact shapes for big boundary arrays ---------------------
+
+def assert_tile_exact(shape, min_bytes_hint: int = 1 << 30,
+                      itemsize: int = 8) -> None:
+    """Raise if a large boundary array violates the Q5 shape contract:
+    at most 3 axes, and EVERY axis both sublane-exact (multiple of 8)
+    and lane-exact-or-huge (multiple of 128, or itself >= 128·8 so any
+    tiling pad is <2%).  Under that contract every layout XLA can pick
+    is pad-free, so its transposed-layout habit costs at most a copy,
+    never an 8x HBM expansion (the 32³×64 null-vector stack failure
+    mode: a 16-wide axis chosen minor pads 16 → 128)."""
+    import numpy as _np
+    if int(_np.prod(shape)) * itemsize < min_bytes_hint:
+        return
+    if len(shape) > 3:
+        raise ValueError(
+            f"Q5: {tuple(shape)} has {len(shape)} axes — fold big "
+            "boundary/dot arrays to <= 3 axes (XLA picks transposed "
+            "layouts for multi-axis arrays and tile-pads the chosen "
+            "minors; 3D batched-matmul shapes get sane layouts)")
+    if shape[-2] % 8 or shape[-1] % 128:
+        raise ValueError(
+            f"Q5: minor pair {tuple(shape[-2:])} of {tuple(shape)} is "
+            "not (8, 128)-tile-exact — the default boundary layout pads "
+            "it")

@@ -47,10 +47,10 @@ class TestBlocking:
 
     def test_block_orthonormal(self):
         t = _transfer()
-        # flat layout [nvec, XC..., 2(ch), bdof]: inner products within
-        # each (aggregate, chirality) = contraction over bdof only
+        # aggregate-major flat layout [2(ch), XC..., nvec, bdof]: inner
+        # products within each (aggregate, chirality) over bdof only
         v = np.asarray(t.v)
-        gram = np.einsum("m...cd,n...cd->cmn...", v.conj(), v)
+        gram = np.einsum("c...md,c...nd->cmn...", v.conj(), v)
         eye = np.eye(BG.nvec).reshape(1, BG.nvec, BG.nvec, 1, 1, 1, 1)
         np.testing.assert_allclose(gram, np.broadcast_to(eye, gram.shape),
                                    atol=1e-10)
@@ -60,7 +60,7 @@ class TestBlocking:
             to_blocked_flat, from_blocked_flat)
         psi = rng.random_spinor(jax.random.PRNGKey(4), GEOM)
         flat = to_blocked_flat(psi, BG)
-        assert flat.shape == BG.coarse_shape + (2, BG.block_volume * 6)
+        assert flat.shape == (2,) + BG.coarse_shape + (BG.block_volume * 6,)
         back = from_blocked_flat(flat, BG)
         np.testing.assert_allclose(np.asarray(back), np.asarray(psi),
                                    atol=1e-14)

@@ -74,3 +74,22 @@ def test_mg_solve_keeps_q4_split():
     from quda_qkxtm_multigrid_tpu.mg import multigrid as mgm
     assert_split_programs(mgm._mr_resid, mgm._gcr_step)
     assert_split_programs(mgm._pc_resid, mgm._gcr_step_pc)
+
+
+def test_q5_tile_exact_contract():
+    """Q5: big boundary arrays must be <= 3 axes with a tile-exact
+    minor pair (mg/transfer cholqr_pass production shapes pass; the
+    shapes that OOMed on-chip fail)."""
+    import pytest
+    from quda_qkxtm_multigrid_tpu.utils.backend_quirks import (
+        assert_tile_exact)
+    # production cholqr_pass shape at 32^3x64 (A, n, d)
+    assert_tile_exact((16384, 24, 1536), min_bytes_hint=0)
+    # small arrays exempt regardless of shape
+    assert_tile_exact((3, 5, 7, 9), min_bytes_hint=1 << 30)
+    # the 7-axis stacked form that kept acquiring 8x-padded layouts
+    with pytest.raises(ValueError):
+        assert_tile_exact((24, 2, 16, 8, 8, 8, 1536), min_bytes_hint=0)
+    # a [..., 2, 1536] boundary pads the 2-axis to 8
+    with pytest.raises(ValueError):
+        assert_tile_exact((16384, 2, 1536), min_bytes_hint=0)
