@@ -149,38 +149,72 @@ def build_coarse_op_direct(transfer: "Transfer", diag_apply: Callable,
     n, dof = bg.nvec, bg.coarse_dof
     cshape = bg.coarse_shape
     v = transfer.v                    # FLAT agg-major: [2, XC.., n, bv*6]
-    vconj = jnp.conj(v)
+    cvol = int(np.prod(cshape))
     # face masks per intra-block site, expanded to the flat bdof axis
     # (bv-major, 6 spin-color entries per site)
     masks = jnp.asarray(np.repeat(
         _face_masks(bg.bt, bg.bz, bg.by, bg.bx), 6, axis=1))
+    # batch=1 above ~0.6M sites: ONE padded to_blocked_flat conversion
+    # copy (~3 GB at 32³×64) + V's f32 dot-operand halves is already
+    # most of the 15.75 GB HBM; wider batches scale the conversion copy
+    # linearly and OOM at compile (bisected on-chip r3)
     if batch is None:
-        vol = bg.fine.volume
-        batch = 8 if vol <= 600_000 else (4 if vol <= 2_200_000 else 2)
+        batch = 8 if bg.fine.volume <= 600_000 else 1
 
-    def restrict_blk(hf):
-        """flat blocked fine [2(ch), XC.., bdof] → coarse [2, n, XC]."""
-        return heinsum("c...nd,c...d->cn...", vconj, hf)
+    def restrict_flat(hf):
+        # conj through the identity conj(V)·f = conj(V·conj(f)):
+        # materialising jnp.conj(v) costs a live V-sized negate copy
+        # (2.25 GB at 32³×64); conj on the FIELD is ~40 MB
+        return jnp.conj(heinsum("c...nd,c...d->cn...", v, jnp.conj(hf)))
+
+    def restrict_split(hw, d):
+        """fine hop output → (intra-aggregate part, cross-aggregate
+        part) coarse columns, split by the direction-d face mask."""
+        hf = to_blocked_flat(hw, bg)
+        tot = restrict_flat(hf)
+        face = restrict_flat(hf * masks[d].astype(hf.dtype))
+        return (tot - face).reshape(2, n, cvol), face.reshape(2, n, cvol)
 
     def cols_one(j):
-        c = j // n
-        smask = (jnp.arange(2) == c).astype(v.dtype)
-        w_flat = v[..., j % n, :] * smask.reshape(2, 1, 1, 1, 1, 1)
+        # column source = chirality-masked null vector, computed as a
+        # mask+reduce over V's n axis: BOTH the dynamic-slice
+        # v[..., j % n, :] and the equivalent one-hot prolong einsum
+        # make XLA materialise a transposed/slice-major V copy whose
+        # tile padding is 2.25-38.6 GB at 32³×64 (bisected on-chip r3,
+        # scripts/ns_bisect.py); the fused mask+sum reads V once in its
+        # natural layout with no copy.
+        c, b = j // n, j % n
+        cmask = (jnp.arange(2) == c).astype(v.dtype).reshape(
+            2, 1, 1, 1, 1, 1, 1)
+        nmask = (jnp.arange(n) == b).astype(v.dtype).reshape(
+            1, 1, 1, 1, 1, n, 1)
+        w_flat = (v * cmask * nmask).sum(axis=5)
         w = from_blocked_flat(w_flat, bg).astype(dtype)
-        out = [restrict_blk(to_blocked_flat(diag_apply(w), bg))]
-        faces = []
-        for d, h in enumerate(hop_terms):
-            hf = to_blocked_flat(h(w), bg)
-            ff = hf * masks[d].astype(hf.dtype)
-            tot = restrict_blk(hf)
-            face = restrict_blk(ff)
-            out.append(tot - face)                  # intra-aggregate → X
-            faces.append(face)                      # cross-aggregate → Y_d
-        return jnp.stack(out + faces)   # [1+8+8, 2, n, XC...]
+
+        xdiag = restrict_flat(to_blocked_flat(diag_apply(w), bg)
+                              ).reshape(2, n, cvol)
+
+        # hops SERIALISED by lax.scan (one live blocked-layout
+        # conversion at a time; an unrolled loop keeps all 8 hop
+        # temporaries live at once — a 71 GB compile-time HBM OOM at
+        # 32³×64, bisected on-chip r3)
+        def body(_, d):
+            xpart, ypart = jax.lax.switch(
+                d, [lambda w, h=h, d=d: restrict_split(h(w), d)
+                    for d, h in enumerate(hop_terms)], w)
+            return None, (xpart, ypart)
+
+        _, (xh, yh) = jax.lax.scan(body, None, jnp.arange(8))
+        # coarse dims FLATTENED to cvol so the stacked map output's
+        # minor pair is (n, cvol) — tile-exact; the [.., n, Tc,Zc,Yc,Xc]
+        # form keeps n minor and tile-pads 24 → 128 (2×6.4 GB
+        # AllocateBuffer at 32³×64, bisected on-chip r3)
+        return jnp.concatenate([
+            xdiag[None], xh, yh])        # [1+8+8, 2, n, cvol]
 
     cols = jax.lax.map(cols_one, jnp.arange(dof),
-                       batch_size=min(batch, dof))  # [dof, 17, 2, n, XC]
-    x_cols = cols[:, 0] + cols[:, 1:9].sum(axis=1)  # [j, c, a, XC]
+                       batch_size=min(batch, dof))  # [dof, 17, 2, n, cvol]
+    x_cols = cols[:, 0] + cols[:, 1:9].sum(axis=1)  # [j, c, a, cvol]
     x = jnp.moveaxis(x_cols.reshape(dof, dof, *cshape), 0, 1)
     y = jnp.stack([
         jnp.moveaxis(cols[:, 9 + d].reshape(dof, dof, *cshape), 0, 1)

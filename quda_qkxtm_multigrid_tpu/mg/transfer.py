@@ -234,6 +234,17 @@ def block_orthonormalize(v_blocked):
     return v.reshape(v_blocked.shape)
 
 
+# NOTE: there is deliberately NO lex-view (12-axis einsum) restrict or
+# prolong: both spellings make XLA's layout assignment treat V as the
+# matrix side of a mat-vec whose FREE/CONTRACT nvec axis goes MINOR —
+# a 24 → 128 lane tile-padded copy of the whole V (25.7 GB at 32³×64,
+# isolated per-op with scripts/ns_bisect.py on-chip r3).  The flat-form
+# einsums below keep V in its natural [batch, n, bdof] layout (proven
+# pad-free in the same bisect); the to/from_blocked_flat conversion
+# costs ~1 padded field copy per call, which the coarse-op build bounds
+# by serialising hops (lax.scan) at small column batch.
+
+
 @partial(jax.tree_util.register_dataclass, data_fields=["v"],
          meta_fields=["bg"])
 @dataclasses.dataclass(frozen=True)
