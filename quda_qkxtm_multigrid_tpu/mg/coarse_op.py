@@ -57,21 +57,26 @@ def _axis_of_mu(mu):
          meta_fields=["bg"])
 @dataclasses.dataclass(frozen=True)
 class CoarseOperator:
-    x: Any                       # [dof, dof, Tc,Zc,Yc,Xc]
-    y: Any                       # [8, dof, dof, Tc,Zc,Yc,Xc]
+    """Coarse links/clover with the site axis FLAT: x [dof, dof, cvol],
+    y [8, dof, dof, cvol].  The flat minor pair (dof, cvol) is
+    tile-exact under TPU T(8,128) tiling; the [.., Tc,Zc,Yc,Xc] form's
+    minor pair (Yc, Xc) tile-pads 8-32x at rest (Y alone would be
+    9.7 GB at 32³×64 — bisected on-chip r4)."""
+    x: Any                       # [dof, dof, cvol]
+    y: Any                       # [8, dof, dof, cvol]
     bg: BlockGeometry
 
     def apply(self, vc):
         """vc [2, nvec, Tc,Zc,Yc,Xc] → Dc vc (same shape)."""
         dof = self.bg.coarse_dof
         v = vc.reshape((dof,) + vc.shape[2:])
-        out = heinsum("ab...,b...->a...", self.x, v)
+        out = heinsum("abs,bs->as", self.x, v.reshape(dof, -1))
         for mu in range(4):
             ax = _axis_of_mu(mu)
-            fwd = jnp.roll(v, -1, axis=ax)      # v(xc+mu)
-            bwd = jnp.roll(v, 1, axis=ax)
-            out = out + heinsum("ab...,b...->a...", self.y[2 * mu], fwd)
-            out = out + heinsum("ab...,b...->a...", self.y[2 * mu + 1], bwd)
+            fwd = jnp.roll(v, -1, axis=ax).reshape(dof, -1)  # v(xc+mu)
+            bwd = jnp.roll(v, 1, axis=ax).reshape(dof, -1)
+            out = out + heinsum("abs,bs->as", self.y[2 * mu], fwd)
+            out = out + heinsum("abs,bs->as", self.y[2 * mu + 1], bwd)
         return out.reshape(vc.shape)
 
     def flops_per_apply(self) -> int:
@@ -89,7 +94,7 @@ def coarse_diag_hops(op: CoarseOperator):
 
     def diag_apply(vc):
         v = vc.reshape((dof,) + vc.shape[2:])
-        out = heinsum("ab...,b...->a...", op.x, v)
+        out = heinsum("abs,bs->as", op.x, v.reshape(dof, -1))
         return out.reshape(vc.shape)
 
     hop_terms = []
@@ -99,7 +104,7 @@ def coarse_diag_hops(op: CoarseOperator):
             shift = -1 if d % 2 == 0 else 1   # fwd hop reads v(x+mu)
             v = vc.reshape((dof,) + vc.shape[2:])
             nb = jnp.roll(v, shift, axis=_axis_of_mu(mu))
-            out = heinsum("ab...,b...->a...", op.y[d], nb)
+            out = heinsum("abs,bs->as", op.y[d], nb.reshape(dof, -1))
             return out.reshape(vc.shape)
         hop_terms.append(h)
     return diag_apply, hop_terms
@@ -124,9 +129,11 @@ def _face_masks(bt: int, bz: int, by: int, bx: int) -> np.ndarray:
     return np.stack(masks).astype(np.float64)
 
 
-def build_coarse_op_direct(transfer: "Transfer", diag_apply: Callable,
-                           hop_terms: list[Callable], dtype,
-                           batch: int | None = None) -> CoarseOperator:
+def build_coarse_op_direct(transfer: "Transfer", diag_apply=None,
+                           hop_terms=None, dtype=None,
+                           batch: int | None = None,
+                           terms_fn: Callable | None = None,
+                           ctx: Any = None) -> CoarseOperator:
     """Direct V†(op)V coarse-op construction — the TPU form of the
     reference's calculateY (reference lib/coarse_op.cu:17-118), replacing
     the bipartite probing build.
@@ -139,43 +146,60 @@ def build_coarse_op_direct(transfer: "Transfer", diag_apply: Callable,
     face masks: contributions from block-face sites came from the
     neighbouring aggregate (the coarse link Y_d), interior sites from
     the same aggregate (the X part).  No prolongations, no coarse
-    2-colouring, no even-coarse-dims restriction, and the per-source
-    work batches into MXU-shaped [nvec x batch] restrict einsums
-    (lax.map batch_size) instead of 2*dof sequential probe programs."""
+    2-colouring, no even-coarse-dims restriction.
+
+    The dof columns run as ONE traced program dispatched per column
+    with DONATED [dof, dof, cvol] accumulators (the
+    _ortho_blocked_batched pattern): the round-3 lax.map form stacked a
+    [dof, 17, 2, n, cvol] temp whose layout-assignment copy tile-padded
+    nvec 24 → 128 lanes (2×6.38 GB at 32³×64 — the r3/r4 north-star
+    OOM, bisected on-chip).  The accumulators ARE the final flat
+    storage, so no post-assembly reshape/copy exists at all.
+
+    Production callers pass ``terms_fn(ctx) -> (diag_apply, hop_terms)``
+    with ctx a pytree jit ARGUMENT (axon backend: device-array closures
+    become IR constants → forced host transfer); eager closures
+    (diag_apply, hop_terms) remain supported for CPU oracles/tests.
+    ``batch`` is accepted for API compatibility and ignored."""
     from quda_qkxtm_multigrid_tpu.mg.transfer import (
         to_blocked_flat, from_blocked_flat)
 
     bg = transfer.bg
     n, dof = bg.nvec, bg.coarse_dof
     cshape = bg.coarse_shape
-    v = transfer.v                    # FLAT agg-major: [2, XC.., n, bv*6]
     cvol = int(np.prod(cshape))
+    if terms_fn is None:
+        if len(hop_terms) != 8:
+            raise ValueError(f"expected 8 hop terms, got {len(hop_terms)}")
+        _d, _h = diag_apply, tuple(hop_terms)
+        terms_fn = lambda _ctx: (_d, list(_h))  # noqa: E731
+        ctx = 0
     # face masks per intra-block site, expanded to the flat bdof axis
     # (bv-major, 6 spin-color entries per site)
     masks = jnp.asarray(np.repeat(
         _face_masks(bg.bt, bg.bz, bg.by, bg.bx), 6, axis=1))
-    # batch=1 above ~0.6M sites: ONE padded to_blocked_flat conversion
-    # copy (~3 GB at 32³×64) + V's f32 dot-operand halves is already
-    # most of the 15.75 GB HBM; wider batches scale the conversion copy
-    # linearly and OOM at compile (bisected on-chip r3)
-    if batch is None:
-        batch = 8 if bg.fine.volume <= 600_000 else 1
 
-    def restrict_flat(hf):
-        # conj through the identity conj(V)·f = conj(V·conj(f)):
-        # materialising jnp.conj(v) costs a live V-sized negate copy
-        # (2.25 GB at 32³×64); conj on the FIELD is ~40 MB
-        return jnp.conj(heinsum("c...nd,c...d->cn...", v, jnp.conj(hf)))
+    def _col(v, ctx, xacc, yacc, j):
+        diag_apply, hop_terms = terms_fn(ctx)
+        if len(hop_terms) != 8:
+            raise ValueError(f"expected 8 hop terms, got {len(hop_terms)}")
 
-    def restrict_split(hw, d):
-        """fine hop output → (intra-aggregate part, cross-aggregate
-        part) coarse columns, split by the direction-d face mask."""
-        hf = to_blocked_flat(hw, bg)
-        tot = restrict_flat(hf)
-        face = restrict_flat(hf * masks[d].astype(hf.dtype))
-        return (tot - face).reshape(2, n, cvol), face.reshape(2, n, cvol)
+        def restrict_flat(hf):
+            # conj through the identity conj(V)·f = conj(V·conj(f)):
+            # materialising jnp.conj(v) costs a live V-sized negate
+            # copy (2.25 GB at 32³×64); conj on the FIELD is ~40 MB
+            return jnp.conj(heinsum("c...nd,c...d->cn...", v,
+                                    jnp.conj(hf)))
 
-    def cols_one(j):
+        def restrict_split(hw, d):
+            """fine hop output → (intra-aggregate part, cross-aggregate
+            part) coarse columns, split by the direction-d face mask."""
+            hf = to_blocked_flat(hw, bg)
+            tot = restrict_flat(hf)
+            face = restrict_flat(hf * masks[d].astype(hf.dtype))
+            return ((tot - face).reshape(2, n, cvol),
+                    face.reshape(2, n, cvol))
+
         # column source = chirality-masked null vector, computed as a
         # mask+reduce over V's n axis: BOTH the dynamic-slice
         # v[..., j % n, :] and the equivalent one-hot prolong einsum
@@ -197,29 +221,26 @@ def build_coarse_op_direct(transfer: "Transfer", diag_apply: Callable,
         # hops SERIALISED by lax.scan (one live blocked-layout
         # conversion at a time; an unrolled loop keeps all 8 hop
         # temporaries live at once — a 71 GB compile-time HBM OOM at
-        # 32³×64, bisected on-chip r3)
-        def body(_, d):
+        # 32³×64, bisected on-chip r3); X accumulates in the carry
+        def body(xsum, d):
             xpart, ypart = jax.lax.switch(
                 d, [lambda w, h=h, d=d: restrict_split(h(w), d)
                     for d, h in enumerate(hop_terms)], w)
-            return None, (xpart, ypart)
+            return xsum + xpart, ypart
 
-        _, (xh, yh) = jax.lax.scan(body, None, jnp.arange(8))
-        # coarse dims FLATTENED to cvol so the stacked map output's
-        # minor pair is (n, cvol) — tile-exact; the [.., n, Tc,Zc,Yc,Xc]
-        # form keeps n minor and tile-pads 24 → 128 (2×6.4 GB
-        # AllocateBuffer at 32³×64, bisected on-chip r3)
-        return jnp.concatenate([
-            xdiag[None], xh, yh])        # [1+8+8, 2, n, cvol]
+        xsum, yh = jax.lax.scan(body, xdiag, jnp.arange(8))
+        xacc = jax.lax.dynamic_update_slice(
+            xacc, xsum.reshape(dof, 1, cvol), (0, j, 0))
+        yacc = jax.lax.dynamic_update_slice(
+            yacc, yh.reshape(8, dof, 1, cvol), (0, 0, j, 0))
+        return xacc, yacc
 
-    cols = jax.lax.map(cols_one, jnp.arange(dof),
-                       batch_size=min(batch, dof))  # [dof, 17, 2, n, cvol]
-    x_cols = cols[:, 0] + cols[:, 1:9].sum(axis=1)  # [j, c, a, cvol]
-    x = jnp.moveaxis(x_cols.reshape(dof, dof, *cshape), 0, 1)
-    y = jnp.stack([
-        jnp.moveaxis(cols[:, 9 + d].reshape(dof, dof, *cshape), 0, 1)
-        for d in range(8)])
-    return CoarseOperator(x=x, y=y, bg=bg)
+    upd = jax.jit(_col, donate_argnums=(2, 3))
+    xacc = jax.jit(lambda: jnp.zeros((dof, dof, cvol), dtype))()
+    yacc = jax.jit(lambda: jnp.zeros((8, dof, dof, cvol), dtype))()
+    for j in range(dof):
+        xacc, yacc = upd(transfer.v, ctx, xacc, yacc, jnp.asarray(j))
+    return CoarseOperator(x=xacc, y=yacc, bg=bg)
 
 
 def build_coarse_op_direct_coarse(transfer2, diag_apply: Callable,
@@ -236,6 +257,8 @@ def build_coarse_op_direct_coarse(transfer2, diag_apply: Callable,
     n, ns = bg.nvec, bg.fine_ns
     dof = bg.coarse_dof
     cshape = bg.coarse_shape
+    if len(hop_terms) != 8:
+        raise ValueError(f"expected 8 hop terms, got {len(hop_terms)}")
     v = transfer2.v                               # [n, XC..., bv, ns, nc]
     vc = jnp.conj(v)
     masks = jnp.asarray(_face_masks(bg.bt, bg.bz, bg.by, bg.bx))
@@ -261,10 +284,11 @@ def build_coarse_op_direct_coarse(transfer2, diag_apply: Callable,
 
     cols = jax.lax.map(cols_one, jnp.arange(dof),
                        batch_size=min(batch, dof))
+    cvol = int(np.prod(cshape))
     x_cols = cols[:, 0] + cols[:, 1:9].sum(axis=1)
-    x = jnp.moveaxis(x_cols.reshape(dof, dof, *cshape), 0, 1)
+    x = jnp.moveaxis(x_cols.reshape(dof, dof, cvol), 0, 1)
     y = jnp.stack([
-        jnp.moveaxis(cols[:, 9 + d].reshape(dof, dof, *cshape), 0, 1)
+        jnp.moveaxis(cols[:, 9 + d].reshape(dof, dof, cvol), 0, 1)
         for d in range(8)])
     return CoarseOperator(x=x, y=y, bg=bg)
 
@@ -280,6 +304,8 @@ def build_coarse_op(transfer, diag_apply: Callable,
     """
     bg = transfer.bg
     cshape = bg.coarse_shape
+    if len(hop_terms) != 8:
+        raise ValueError(f"expected 8 hop terms, got {len(hop_terms)}")
     for d in cshape:
         if d % 2:
             raise ValueError(
@@ -327,4 +353,6 @@ def build_coarse_op(transfer, diag_apply: Callable,
         ys.append(jnp.moveaxis(yd, 0, 1))
     y = jnp.stack(ys)
 
-    return CoarseOperator(x=x_total, y=y, bg=bg)
+    cvol = int(np.prod(cshape))
+    return CoarseOperator(x=x_total.reshape(dof, dof, cvol),
+                          y=y.reshape(8, dof, dof, cvol), bg=bg)

@@ -226,7 +226,7 @@ def _ortho_blocked(vs, bg):
         jnp.stack([to_blocked_flat(v, bg) for v in vs]))
 
 
-def _ortho_blocked_batched(batches, bg):
+def _ortho_blocked_batched(batches, bg, n: int | None = None):
     """As _ortho_blocked but over a list of [n_i, ...] batch arrays —
     the 32³×64-capable HOST-LEVEL sequence (the full 24-vector set is
     ~4.8 GB in c64 and every single-program formulation tried acquires
@@ -244,8 +244,16 @@ def _ortho_blocked_batched(batches, bg):
     """
     from quda_qkxtm_multigrid_tpu.mg.transfer import (
         to_blocked_flat, cholqr_pass)
-    n = sum(int(b.shape[0]) for b in batches)
-    dtype = batches[0].dtype
+    if n is None:
+        batches = list(batches)
+        n = sum(int(b.shape[0]) for b in batches)
+    # batches may be a GENERATOR (generate_null_vectors streams each
+    # msrc solve straight into the donated accumulator, so at most ONE
+    # solution batch is live beside V instead of all nvec — a 4.4 GB
+    # peak saving at 32³×64); n must then be passed explicitly.
+    it = iter(batches)
+    first = next(it)
+    dtype = first.dtype
     shape = (2,) + bg.coarse_shape + (n, bg.block_volume * 6)
 
     V = jax.jit(lambda: jnp.zeros(shape, dtype))()
@@ -254,10 +262,12 @@ def _ortho_blocked_batched(batches, bg):
             V, to_blocked_flat(b[j], bg)[..., None, :], i, axis=-2),
         donate_argnums=(0,))
     i = 0
-    for b in batches:
+    b = first
+    while b is not None:
         for j in range(int(b.shape[0])):
             V = conv(V, b, i, j)
             i += 1
+        b = next(it, None)
     qr = jax.jit(cholqr_pass, donate_argnums=(0,))
     return qr(qr(V))
 
@@ -295,15 +305,17 @@ def _level1_terms(dirac):
     return diag_apply, hop_terms
 
 
-@jax.jit
 def _build_level1(transfer, dirac):
     """Direct V†(op)V coarse construction (calculateY analogue,
     lib/coarse_op.cu:17-118) — the probing build is kept in
-    mg/coarse_op.py as the test oracle."""
+    mg/coarse_op.py as the test oracle.  Eager orchestration: the
+    builder dispatches one donated-accumulator program per coarse
+    column (r4 OOM fix), with dirac threaded as the terms context so
+    its arrays enter each program as jit ARGUMENTS (axon backend:
+    device-array closures become IR constants)."""
     from quda_qkxtm_multigrid_tpu.mg.coarse_op import build_coarse_op_direct
-    diag_apply, hop_terms = _level1_terms(dirac)
-    return build_coarse_op_direct(transfer, diag_apply, hop_terms,
-                                  dirac.u.dtype)
+    return build_coarse_op_direct(transfer, dtype=dirac.u.dtype,
+                                  terms_fn=_level1_terms, ctx=dirac)
 
 
 def generate_null_vectors(dirac: Dirac, bg: BlockGeometry, key,
@@ -335,18 +347,17 @@ def generate_null_vectors(dirac: Dirac, bg: BlockGeometry, key,
             # UNIMPLEMENTED)
             return invert_msrc(d, bs, tol=tol, maxiter=maxiter)
 
-        batches = []
-        for i0 in range(0, bg.nvec, batch):
-            n = min(batch, bg.nvec - i0)
-            bs = _random_spinor_batch(keys[i0], dirac.geom, n,
-                                      dirac.u.dtype)
-            out = _msrc_solve(dirac, bs, params.setup_tol,
-                              params.setup_maxiter)
-            batches.append(out.x)
-        # concatenate + block-orthonormalise inside ONE jit program
-        # (eager complex stack/slice ops are unsupported on the axon
-        # TPU backend)
-        return _ortho_blocked_batched(batches, bg)
+        def _solved_batches():
+            for i0 in range(0, bg.nvec, batch):
+                nb = min(batch, bg.nvec - i0)
+                bs = _random_spinor_batch(keys[i0], dirac.geom, nb,
+                                          dirac.u.dtype)
+                yield _msrc_solve(dirac, bs, params.setup_tol,
+                                  params.setup_maxiter).x
+        # stream each solved batch straight into the donated V
+        # accumulator (at most one batch live beside V; eager complex
+        # stack/slice ops are unsupported on the axon TPU backend)
+        return _ortho_blocked_batched(_solved_batches(), bg, n=bg.nvec)
     else:
         vs = [_null_solve(dirac, _random_spinor(k, dirac.geom,
                                                 dirac.u.dtype),

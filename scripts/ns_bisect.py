@@ -33,12 +33,12 @@ def on(name):
 
 @jax.jit
 def mk(key):
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
     v = (jax.random.normal(k1, (2,) + cshape + (n, bg.block_volume * 6))
          + 1j * jax.random.normal(
              k2, (2,) + cshape + (n, bg.block_volume * 6))
          ).astype(jnp.complex64)
-    vc = jax.random.normal(k1, (2, n) + cshape).astype(jnp.complex64)
+    vc = jax.random.normal(k3, (2, n) + cshape).astype(jnp.complex64)
     return v, vc
 
 

@@ -246,7 +246,7 @@ def test_delta_mu_coarse_exact_shift():
     expect = np.zeros((dof, dof), complex)
     expect[np.arange(nv), np.arange(nv)] = shift
     expect[np.arange(nv, dof), np.arange(nv, dof)] = -shift
-    expect = expect.reshape(dof, dof, 1, 1, 1, 1)
+    expect = expect.reshape(dof, dof, 1)
     np.testing.assert_allclose(diff, np.broadcast_to(diff * 0 + expect,
                                                      diff.shape),
                                atol=1e-10)

@@ -45,33 +45,6 @@ def test_v2_matches_xla(fields, parity, recon12):
 
 @pytest.mark.parametrize("recon12", [False, True])
 @pytest.mark.parametrize("parity", [0, 1])
-def test_v3_matches_xla(fields, parity, recon12):
-    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas3 import (
-        dslash_parity_pallas3)
-    u, ud, psi = fields
-    ref = dsl.dslash_parity(u, psi[1 - parity], parity, GEOM)
-    got = dslash_parity_pallas3(ud, psi[1 - parity], parity, GEOM, zb=2,
-                                interpret=True, recon12=recon12)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
-
-
-@pytest.mark.parametrize("grid", [(2, 1, 1), (2, 2, 1), (4, 2, 1)])
-def test_v3_shmap_matches_xla(fields, grid):
-    """Multi-chip Pallas dslash on a virtual CPU mesh: halo exchange by
-    ppermute must bit-match the single-device XLA path."""
-    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas3 import (
-        dslash_parity_pallas_shmap)
-    from quda_qkxtm_multigrid_tpu.parallel import make_lattice_mesh
-    u, ud, psi = fields
-    mesh = make_lattice_mesh(grid)
-    ref = dsl.dslash_parity(u, psi[1], 0, GEOM)
-    got = dslash_parity_pallas_shmap(ud, psi[1], 0, GEOM, mesh, zb=2,
-                                     interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
-
-
-@pytest.mark.parametrize("recon12", [False, True])
-@pytest.mark.parametrize("parity", [0, 1])
 def test_v5_matches_xla(fields, parity, recon12):
     from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
         dslash_parity_pallas5)
