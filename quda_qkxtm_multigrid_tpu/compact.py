@@ -38,23 +38,41 @@ from quda_qkxtm_multigrid_tpu.dirac import (
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["g_ch", "cinv_ch", "cl_ch"],
-         meta_fields=["params", "geom"])
+         meta_fields=["params", "geom", "interpret"])
 @dataclasses.dataclass(frozen=True)
 class CompactDirac:
     """Channel-operand bundle: g_ch/cinv_ch/cl_ch are (even, odd)
-    tuples of [T, ch, Z, W] arrays (bf16 or f32)."""
+    tuples of [T, ch, Z, W] arrays (bf16 or f32).
+
+    interpret=True runs every kernel in Pallas interpret mode (CPU
+    test tier); the full-field protocol adapters below thread it."""
 
     g_ch: Any
     cinv_ch: Any
     cl_ch: Any
     params: DiracParams
     geom: Geometry
+    interpret: bool = False
 
     # Routing properties: workflows treat a CompactDirac as a solver
     # backend without the msrc/shmap fused extras (those need the full
     # Dirac bundle), so the _has_fused_matpc fast paths stay off.
     _has_fused_matpc = False
     field_dtype = jnp.complex64   # spinor I/O dtype of the compact path
+
+    def flops_per_mat(self) -> int:
+        """Analytic flops of one full-operator application — same
+        ledger as Dirac.flops_per_mat (reference
+        lib/dirac_wilson.cpp:60, dirac_clover.cpp:76)."""
+        from quda_qkxtm_multigrid_tpu.ops.dslash import (
+            WILSON_DSLASH_FLOPS_PER_SITE)
+        extra = 0
+        if self.params.has_twist:
+            extra += 48
+        if self.params.has_clover:
+            extra += 504
+        return (WILSON_DSLASH_FLOPS_PER_SITE + 48 + extra) \
+            * self.geom.volume
 
     # ---- fused hot path (same chain as Dirac._fused_matpc_*_ch) ----
     def _v5(self, parity, psi_ch, **kw):
@@ -110,16 +128,20 @@ class CompactDirac:
         return self.matpc_ch(t, True, interpret)
 
     # ---- diagonal A / A^-1 in channel domain -----------------------
-    def _a_apply_ch(self, v_ch, parity, interpret=False):
+    def _a_apply_ch(self, v_ch, parity, interpret=False, dag=False):
+        """A_p = clover + i a γ5 (a = 2κμ·flavor); dag=True applies
+        A_p† = clover† − i a γ5 (clover is hermitian, so the dagger
+        only flips the twist sign and transposes the 6×6 blocks)."""
         p = self.params
+        a = 2.0 * p.kappa * p.mu * p.flavor
+        if dag:
+            a = -a
         if p.has_clover:
-            out = _ch_clover_apply(v_ch, self.cl_ch[parity])
+            out = _ch_clover_apply(v_ch, self.cl_ch[parity], dag=dag)
             if p.has_twist:
-                a = 2.0 * p.kappa * p.mu * p.flavor
                 out = out + (_ch_twist(v_ch, a, 1.0) - v_ch)
             return out
         if p.has_twist:
-            a = 2.0 * p.kappa * p.mu * p.flavor
             return _ch_twist(v_ch, a, 1.0)
         return v_ch
 
@@ -167,9 +189,72 @@ class CompactDirac:
                          interpret=interpret)
         return out_e, out_o
 
+    def mdag_ch(self, x_e, x_o, interpret: bool = False):
+        """Daggered full operator per parity:
+        M† x|_p = A_p† x_p − κ D†_{p,1−p} x_{1−p}."""
+        k = self.params.kappa
+        out_e = self._v5(0, x_o, dagger=True, xpay_coef=-k,
+                         x_ch=self._a_apply_ch(x_e, 0, dag=True),
+                         interpret=interpret)
+        out_o = self._v5(1, x_e, dagger=True, xpay_coef=-k,
+                         x_ch=self._a_apply_ch(x_o, 1, dag=True),
+                         interpret=interpret)
+        return out_e, out_o
+
+    # ---- full-field Dirac-protocol adapters -------------------------
+    # These let a CompactDirac drive ANY consumer of the Dirac protocol
+    # (lanczos deflation, wexact loops, the invert() front end) at
+    # HBM-limited volumes — the compact analogue of wrapping the
+    # sloppy-resident gauge behind the full solver interface (reference
+    # interface_quda.cpp:1039).  Channel conversions sit at the program
+    # boundary of each call; hot loops should stay in _ch domain (the
+    # solvers that matter do: invert() dispatches to the _ch CG chain).
+
+    def _to_ch(self, x):
+        from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import _to_channels
+        return _to_channels(x).astype(jnp.float32)
+
+    def _from_ch(self, x_ch):
+        from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
+            _from_channels)
+        return _from_channels(x_ch, (4, 3)).astype(self.field_dtype)
+
+    def m(self, psi, dagger: bool = False):
+        fn = self.mdag_ch if dagger else self.m_ch
+        e, o = fn(self._to_ch(psi[0]), self._to_ch(psi[1]),
+                  interpret=self.interpret)
+        return jnp.stack([self._from_ch(e), self._from_ch(o)])
+
+    def mdag(self, psi):
+        return self.m(psi, dagger=True)
+
+    def mdagm(self, psi):
+        return self.mdag(self.m(psi))
+
+    def matpc(self, psi_p, dagger: bool = False):
+        return self._from_ch(self.matpc_ch(self._to_ch(psi_p), dagger,
+                                           self.interpret))
+
+    def matpc_dagm(self, psi_p):
+        return self._from_ch(self.matpc_dagm_ch(self._to_ch(psi_p),
+                                                self.interpret))
+
+    def prepare(self, b):
+        return self._from_ch(self.prepare_ch(self._to_ch(b[0]),
+                                             self._to_ch(b[1]),
+                                             self.interpret))
+
+    def reconstruct(self, x_p, b):
+        x_e, x_o = self.reconstruct_ch(self._to_ch(x_p),
+                                       self._to_ch(b[0]),
+                                       self._to_ch(b[1]),
+                                       self.interpret)
+        return jnp.stack([self._from_ch(x_e), self._from_ch(x_o)])
+
 
 def make_compact(u, params: DiracParams, geom: Geometry,
-                 bf16: bool = True, host: bool = False) -> CompactDirac:
+                 bf16: bool = True, host: bool = False,
+                 interpret: bool = False) -> CompactDirac:
     """Build the channel bundle from a gauge field.
 
     host=True stages the c64 construction (clover from Fμν, gauge
@@ -214,7 +299,7 @@ def make_compact(u, params: DiracParams, geom: Geometry,
     else:
         g, ci, cl = jax.jit(build)(u)
     return CompactDirac(g_ch=g, cinv_ch=ci, cl_ch=cl, params=params,
-                        geom=geom)
+                        geom=geom, interpret=interpret)
 
 
 def invert_compact(cd: CompactDirac, b_e, b_o, tol: float = 1e-7,

@@ -76,7 +76,8 @@ def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
         if solver != "cg":
             raise ValueError(f"CompactDirac supports solver='cg' only, "
                              f"got {solver!r}")
-        return invert_compact_full(dirac, b, tol=tol, maxiter=maxiter)
+        return invert_compact_full(dirac, b, tol=tol, maxiter=maxiter,
+                                   interpret=dirac.interpret)
     if mesh is not None and solver == "cg" and _fused_tm(dirac):
         import dataclasses as _dc
         from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (

@@ -112,6 +112,19 @@ def plain_wilson_partner(dirac: Dirac) -> Dirac:
                  else dirac.clover_inv)
 
 
+def plain_partner_from_gauge(u, params: DiracParams,
+                             geom: Geometry) -> Dirac:
+    """plain_wilson_partner built directly from the gauge field — for
+    solve operators (CompactDirac) that carry no u/clover on device.
+    use_pallas stays off: the XLA dslash reads u undoubled, so the
+    contraction partner costs one gauge copy, not the fused bundle."""
+    from quda_qkxtm_multigrid_tpu.dirac import make_dirac
+    kind = "clover" if params.has_clover else "wilson"
+    p = DiracParams(kind=kind, kappa=params.kappa, mu=0.0,
+                    csw=params.csw)
+    return make_dirac(u, p, geom)
+
+
 def stochastic_loops(solve: Callable, key, dirac: Dirac, geom: Geometry,
                      n_sources: int, dtype=jnp.complex64):
     """Accumulate loops over Z4 stochastic sources (the stochastic part

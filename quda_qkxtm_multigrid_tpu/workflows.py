@@ -440,11 +440,16 @@ def run_loops(u, geom: Geometry, kappa: float, mu: float, csw: float,
     if mesh is not None:
         from quda_qkxtm_multigrid_tpu.parallel.mesh import shard_gauge
         u = shard_gauge(u, mesh)
-    d = make_dirac_jit(u, DiracParams(kind=kind, kappa=kappa, mu=mu,
-                                      csw=csw,
-                                      use_pallas=_auto_pallas(u, geom)),
-                       geom)
-    plain = lp.plain_wilson_partner(d)
+    # production operator factory (NOT make_dirac_jit): above the HBM
+    # gate the solve runs the CompactDirac channel chain — loops are a
+    # first-class production driver (reference interface_quda.cpp:8535)
+    d = make_operator(u, DiracParams(kind=kind, kappa=kappa, mu=mu,
+                                     csw=csw), geom, mesh=mesh)
+    from quda_qkxtm_multigrid_tpu.compact import CompactDirac
+    if isinstance(d, CompactDirac):
+        plain = lp.plain_partner_from_gauge(u, d.params, geom)
+    else:
+        plain = lp.plain_wilson_partner(d)
     solve_tol = tol_lp if tol_lp is not None else tol
     use_mesh = mesh if (mesh is not None
                         and getattr(d, "_has_fused_matpc", False)) else None
@@ -498,7 +503,8 @@ def run_loops(u, geom: Geometry, kappa: float, mu: float, csw: float,
 def run_loops_wexact(u, geom: Geometry, kappa: float, mu: float, csw: float,
                      nev: int, n_stoch: int, key, tol: float = 1e-8,
                      maxiter: int = 1000, ncv: Optional[int] = None,
-                     lanczos_tol: float = 1e-6, full_op: bool = False):
+                     lanczos_tol: float = 1e-6, full_op: bool = False,
+                     mesh=None):
     """Disconnected loops with exact low-mode deflation — the analogue of
     calcMG_loop_wOneD_TSM_wExact (reference interface_quda.cpp:7093):
     eigensolve → exact low-mode loop contribution per mode → stochastic
@@ -519,11 +525,20 @@ def run_loops_wexact(u, geom: Geometry, kappa: float, mu: float, csw: float,
     from quda_qkxtm_multigrid_tpu.utils.rng import z4_source
 
     kind = "twisted-clover" if csw != 0.0 else "twisted-mass"
-    d = make_dirac_jit(u, DiracParams(kind=kind, kappa=kappa, mu=mu,
-                                      csw=csw,
-                                      use_pallas=_auto_pallas(u, geom)),
-                       geom)
-    plain = lp.plain_wilson_partner(d)
+    if mesh is not None:
+        from quda_qkxtm_multigrid_tpu.parallel.mesh import shard_gauge
+        u = shard_gauge(u, mesh)
+    # production operator factory: CompactDirac above the HBM gate — the
+    # full-field protocol adapters (compact.py) carry the deflation
+    # chain (mdagm / matpc / prepare / reconstruct); sharded state runs
+    # XLA auto-partitioned (wExact driver interface_quda.cpp:7093)
+    d = make_operator(u, DiracParams(kind=kind, kappa=kappa, mu=mu,
+                                     csw=csw), geom, mesh=mesh)
+    from quda_qkxtm_multigrid_tpu.compact import CompactDirac
+    if isinstance(d, CompactDirac):
+        plain = lp.plain_partner_from_gauge(u, d.params, geom)
+    else:
+        plain = lp.plain_wilson_partner(d)
 
     if full_op:
         b0_full = fields.zeros_spinor(geom, dtype=u.dtype)
