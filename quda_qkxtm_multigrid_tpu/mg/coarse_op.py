@@ -133,7 +133,11 @@ def build_coarse_op_direct(transfer: "Transfer", diag_apply=None,
                            hop_terms=None, dtype=None,
                            batch: int | None = None,
                            terms_fn: Callable | None = None,
-                           ctx: Any = None) -> CoarseOperator:
+                           ctx: Any = None,
+                           diag_fn: Callable | None = None,
+                           hops_fn: Callable | None = None,
+                           ctx_diag: Any = None,
+                           ctx_hops: Any = None) -> CoarseOperator:
     """Direct V†(op)V coarse-op construction — the TPU form of the
     reference's calculateY (reference lib/coarse_op.cu:17-118), replacing
     the bipartite probing build.
@@ -156,67 +160,115 @@ def build_coarse_op_direct(transfer: "Transfer", diag_apply=None,
     OOM, bisected on-chip).  The accumulators ARE the final flat
     storage, so no post-assembly reshape/copy exists at all.
 
-    Production callers pass ``terms_fn(ctx) -> (diag_apply, hop_terms)``
-    with ctx a pytree jit ARGUMENT (axon backend: device-array closures
-    become IR constants → forced host transfer); eager closures
-    (diag_apply, hop_terms) remain supported for CPU oracles/tests.
-    ``batch`` is accepted for API compatibility and ignored."""
-    from quda_qkxtm_multigrid_tpu.mg.transfer import (
-        to_blocked_flat, from_blocked_flat)
+    Production callers pass ``diag_fn(ctx_diag) -> diag_apply`` and
+    ``hops_fn(ctx_hops) -> hop_terms`` with each ctx a pytree jit
+    ARGUMENT (axon backend: device-array closures become IR constants →
+    forced host transfer), split so the DIAG program carries only the
+    clover-term arrays and the HOPS program only the gauge field: the
+    combined-ctx form passed the whole Dirac bundle into every column
+    program — 7.45 GB of arguments beside a 10.8 GB program at 32³×64,
+    2.5 GB past HBM (r4 on-chip compile report).  ``terms_fn(ctx) ->
+    (diag_apply, hop_terms)`` and eager closures (diag_apply,
+    hop_terms) remain supported for CPU oracles/tests.  ``batch`` is
+    accepted for API compatibility and ignored."""
+    from quda_qkxtm_multigrid_tpu.mg.transfer import from_blocked_flat
 
     bg = transfer.bg
     n, dof = bg.nvec, bg.coarse_dof
     cshape = bg.coarse_shape
     cvol = int(np.prod(cshape))
-    if terms_fn is None:
+    if terms_fn is not None:
+        diag_fn = lambda c: terms_fn(c)[0]           # noqa: E731
+        hops_fn = lambda c: terms_fn(c)[1]           # noqa: E731
+        ctx_diag = ctx_hops = ctx
+    elif diag_fn is None:
         if len(hop_terms) != 8:
             raise ValueError(f"expected 8 hop terms, got {len(hop_terms)}")
         _d, _h = diag_apply, tuple(hop_terms)
-        terms_fn = lambda _ctx: (_d, list(_h))  # noqa: E731
-        ctx = 0
-    # face masks per intra-block site, expanded to the flat bdof axis
-    # (bv-major, 6 spin-color entries per site)
-    masks = jnp.asarray(np.repeat(
-        _face_masks(bg.bt, bg.bz, bg.by, bg.bx), 6, axis=1))
+        diag_fn = lambda _c: _d                      # noqa: E731
+        hops_fn = lambda _c: list(_h)                # noqa: E731
+        ctx_diag = ctx_hops = 0
+    # Face masks kept as NumPy IR constants: a device-array closure
+    # lowers through the MLIR constant handler, whose d2h fetch is the
+    # first op to die when HBM is at the edge (the r4 32³×64
+    # north-star failure signature); a host constant embeds directly.
+    #
+    # interleaved views for the restriction contractions: BOTH sides of
+    # the einsum are FREE reshapes — v's flat bdof axis unpacks to
+    # (bt,bz,by,bx,2,3) in storage order, and the hop field reaches the
+    # contraction as the lex reshape [tc,bt,zc,bz,yc,by,xc,bx,2,2,3].
+    # The r4 on-chip compile report showed the explicit to_blocked_flat
+    # chain materialising the (…,4,3)-minor transposed intermediate at
+    # 32x tile padding (96 MB → 3.00 GB at 32³×64); handing the dot the
+    # interleaved views lets layout assignment transpose straight into
+    # the MXU operand form (contraction minor = bdof = 1536,
+    # tile-exact).
+    tc_, zc_, yc_, xc_ = bg.coarse_shape
+    il_shape = (tc_, bg.bt, zc_, bg.bz, yc_, bg.by, xc_, bg.bx, 2, 2, 3)
+    masks4 = _face_masks(bg.bt, bg.bz, bg.by, bg.bx).astype(
+        np.float32).reshape(8, 1, bg.bt, 1, bg.bz, 1, bg.by, 1, bg.bx,
+                            1, 1, 1)
 
-    def _col(v, ctx, xacc, yacc, j):
-        diag_apply, hop_terms = terms_fn(ctx)
-        if len(hop_terms) != 8:
-            raise ValueError(f"expected 8 hop terms, got {len(hop_terms)}")
+    def _v_interleaved(v):
+        return v.reshape((2, tc_, zc_, yc_, xc_, n, bg.bt, bg.bz,
+                          bg.by, bg.bx, 2, 3))
 
-        def restrict_flat(hf):
-            # conj through the identity conj(V)·f = conj(V·conj(f)):
-            # materialising jnp.conj(v) costs a live V-sized negate
-            # copy (2.25 GB at 32³×64); conj on the FIELD is ~40 MB
-            return jnp.conj(heinsum("c...nd,c...d->cn...", v,
-                                    jnp.conj(hf)))
-
-        def restrict_split(hw, d):
-            """fine hop output → (intra-aggregate part, cross-aggregate
-            part) coarse columns, split by the direction-d face mask."""
-            hf = to_blocked_flat(hw, bg)
-            tot = restrict_flat(hf)
-            face = restrict_flat(hf * masks[d].astype(hf.dtype))
-            return ((tot - face).reshape(2, n, cvol),
-                    face.reshape(2, n, cvol))
-
+    def _column_source(v, j):
         # column source = chirality-masked null vector, computed as a
         # mask+reduce over V's n axis: BOTH the dynamic-slice
         # v[..., j % n, :] and the equivalent one-hot prolong einsum
         # make XLA materialise a transposed/slice-major V copy whose
         # tile padding is 2.25-38.6 GB at 32³×64 (bisected on-chip r3,
         # scripts/ns_bisect.py); the fused mask+sum reads V once in its
-        # natural layout with no copy.
+        # natural layout with no copy.  The n-reduce runs FIRST so the
+        # chirality mask touches only the reduced [2, ..., bdof] field —
+        # the v*cmask*nmask chain held a second V-sized temp.
         c, b = j // n, j % n
-        cmask = (jnp.arange(2) == c).astype(v.dtype).reshape(
-            2, 1, 1, 1, 1, 1, 1)
         nmask = (jnp.arange(n) == b).astype(v.dtype).reshape(
             1, 1, 1, 1, 1, n, 1)
-        w_flat = (v * cmask * nmask).sum(axis=5)
-        w = from_blocked_flat(w_flat, bg).astype(dtype)
+        t = (v * nmask).sum(axis=5)
+        cmask = (jnp.arange(2) == c).astype(v.dtype).reshape(
+            2, 1, 1, 1, 1, 1)
+        return from_blocked_flat(t * cmask, bg).astype(dtype)
 
-        xdiag = restrict_flat(to_blocked_flat(diag_apply(w), bg)
-                              ).reshape(2, n, cvol)
+    def restrict_lex(v, hw):
+        """canonical field → coarse columns [2, n, coarse dims], via
+        the interleaved-view einsum.  conj through the identity
+        conj(V)·f = conj(V·conj(f)): materialising jnp.conj(v) costs a
+        live V-sized negate copy (2.25 GB at 32³×64); conj on the
+        FIELD is ~40 MB."""
+        from quda_qkxtm_multigrid_tpu.lattice import spinor_to_lex
+        il = spinor_to_lex(hw, bg.fine).reshape(il_shape)
+        return jnp.conj(heinsum("qabcdnTZYXsr,aTbZcYdXqsr->qnabcd",
+                                _v_interleaved(v), jnp.conj(il)))
+
+    def _col_diag(v, ctx, xacc, j):
+        diag_apply = diag_fn(ctx)
+        w = _column_source(v, j)
+        xdiag = restrict_lex(v, diag_apply(w)).reshape(dof, 1, cvol)
+        return jax.lax.dynamic_update_slice(xacc, xdiag, (0, j, 0))
+
+    def _col_hops(v, ctx, xacc, yacc, j):
+        hop_terms = hops_fn(ctx)
+        if len(hop_terms) != 8:
+            raise ValueError(f"expected 8 hop terms, got {len(hop_terms)}")
+        w = _column_source(v, j)
+
+        def restrict_split(hw, d):
+            """fine hop output → (intra-aggregate part, cross-aggregate
+            part) coarse columns, split by the direction-d face mask.
+            tot and face restrict in ONE stacked interleaved einsum so
+            V is read once per hop, not twice, and no blocked-layout
+            intermediate is materialised (see restrict_lex)."""
+            from quda_qkxtm_multigrid_tpu.lattice import spinor_to_lex
+            il = spinor_to_lex(hw, bg.fine).reshape(il_shape)
+            m = jnp.asarray(masks4[d], il.dtype)
+            pair = jnp.stack([il, il * m])
+            rr = jnp.conj(heinsum("qabcdnTZYXsr,kaTbZcYdXqsr->kqnabcd",
+                                  _v_interleaved(v), jnp.conj(pair)))
+            tot, face = rr[0], rr[1]
+            return ((tot - face).reshape(2, n, cvol),
+                    face.reshape(2, n, cvol))
 
         # hops SERIALISED by lax.scan (one live blocked-layout
         # conversion at a time; an unrolled loop keeps all 8 hop
@@ -228,18 +280,24 @@ def build_coarse_op_direct(transfer: "Transfer", diag_apply=None,
                     for d, h in enumerate(hop_terms)], w)
             return xsum + xpart, ypart
 
-        xsum, yh = jax.lax.scan(body, xdiag, jnp.arange(8))
+        xsum, yh = jax.lax.scan(
+            body, jnp.zeros((2, n, cvol), dtype), jnp.arange(8))
+        xcol = jax.lax.dynamic_slice(xacc, (0, j, 0), (dof, 1, cvol))
         xacc = jax.lax.dynamic_update_slice(
-            xacc, xsum.reshape(dof, 1, cvol), (0, j, 0))
+            xacc, xcol + xsum.reshape(dof, 1, cvol), (0, j, 0))
         yacc = jax.lax.dynamic_update_slice(
             yacc, yh.reshape(8, dof, 1, cvol), (0, 0, j, 0))
         return xacc, yacc
 
-    upd = jax.jit(_col, donate_argnums=(2, 3))
+    upd_diag = jax.jit(_col_diag, donate_argnums=(2,))
+    upd_hops = jax.jit(_col_hops, donate_argnums=(2, 3))
     xacc = jax.jit(lambda: jnp.zeros((dof, dof, cvol), dtype))()
     yacc = jax.jit(lambda: jnp.zeros((8, dof, dof, cvol), dtype))()
     for j in range(dof):
-        xacc, yacc = upd(transfer.v, ctx, xacc, yacc, jnp.asarray(j))
+        xacc = upd_diag(transfer.v, ctx_diag, xacc, jnp.asarray(j))
+    for j in range(dof):
+        xacc, yacc = upd_hops(transfer.v, ctx_hops, xacc, yacc,
+                              jnp.asarray(j))
     return CoarseOperator(x=xacc, y=yacc, bg=bg)
 
 

@@ -78,6 +78,11 @@ class MGParams:
     coarse3_nkrylov: int = 8
     setup3_tol: float = 1e-4
     setup3_maxiter: int = 150
+    # null-vector persistence (reference vec_infile/vec_outfile,
+    # quda.h:389-393; MG::loadVectors lib/multigrid.cpp): infile skips
+    # generation — the setup-cost amortiser across runs on one gauge
+    vec_infile: str = ""
+    vec_outfile: str = ""
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -305,17 +310,34 @@ def _level1_terms(dirac):
     return diag_apply, hop_terms
 
 
+def _level1_diag_fn(dirac_diag):
+    return _level1_terms(dirac_diag)[0]
+
+
+def _level1_hops_fn(dirac_hops):
+    return _level1_terms(dirac_hops)[1]
+
+
 def _build_level1(transfer, dirac):
     """Direct V†(op)V coarse construction (calculateY analogue,
     lib/coarse_op.cu:17-118) — the probing build is kept in
     mg/coarse_op.py as the test oracle.  Eager orchestration: the
     builder dispatches one donated-accumulator program per coarse
-    column (r4 OOM fix), with dirac threaded as the terms context so
-    its arrays enter each program as jit ARGUMENTS (axon backend:
-    device-array closures become IR constants)."""
+    column (r4 OOM fix), with STRIPPED Dirac pytrees threaded as the
+    terms contexts so exactly the arrays each program touches enter as
+    jit ARGUMENTS (axon backend: device-array closures become IR
+    constants; the full bundle as a shared ctx put clover_inv +
+    u_doubled — unused by both programs — into every column program's
+    argument footprint, 2.5 GB past HBM at 32³×64)."""
     from quda_qkxtm_multigrid_tpu.mg.coarse_op import build_coarse_op_direct
+    d_diag = dataclasses.replace(dirac, u=None, u_doubled=None,
+                                 clover_inv=None)
+    d_hops = dataclasses.replace(dirac, u_doubled=None, clover_inv=None,
+                                 clover=None)
     return build_coarse_op_direct(transfer, dtype=dirac.u.dtype,
-                                  terms_fn=_level1_terms, ctx=dirac)
+                                  diag_fn=_level1_diag_fn,
+                                  hops_fn=_level1_hops_fn,
+                                  ctx_diag=d_diag, ctx_hops=d_hops)
 
 
 def generate_null_vectors(dirac: Dirac, bg: BlockGeometry, key,
@@ -380,6 +402,21 @@ def _delta_scaled(dirac: Dirac, dmu: float, dkappa: float, dcsw: float):
                    static_argnames=())(dirac.u)
 
 
+def _null_vectors_for(dirac, bg, key, params: MGParams):
+    """Generation with vec_infile/vec_outfile persistence (reference
+    MG::loadVectors / saveVectors, lib/multigrid.cpp; quda.h:389-393):
+    infile skips the nvec setup solves entirely — the amortiser for
+    repeated solves on one gauge configuration."""
+    from quda_qkxtm_multigrid_tpu.utils import checkpoint as ckpt
+    if params.vec_infile:
+        return ckpt.load_null_vectors_device(params.vec_infile,
+                                             dirac.u.dtype)
+    v = generate_null_vectors(dirac, bg, key, params)
+    if params.vec_outfile:
+        ckpt.save_null_vectors(params.vec_outfile, ckpt.fetch_complex(v))
+    return v
+
+
 def setup_mg(dirac: Dirac, params: MGParams, key,
              null_vectors=None) -> MGPreconditioner:
     """Build the MG preconditioner (reference MG::MG,
@@ -388,7 +425,7 @@ def setup_mg(dirac: Dirac, params: MGParams, key,
     bx, by, bz, bt = params.block
     bg = BlockGeometry(dirac.geom, bx, by, bz, bt, params.nvec)
     if null_vectors is None:
-        v = generate_null_vectors(dirac, bg, key, params)
+        v = _null_vectors_for(dirac, bg, key, params)
     else:
         v = _ortho_blocked(list(null_vectors), bg)
     transfer = Transfer(v=v, bg=bg)
@@ -426,7 +463,7 @@ def setup_mg_pair(dirac_up: Dirac, dirac_dn: Dirac, params: MGParams,
     the reference's delta_mu coarse-twist knobs, quda.h:401-407)."""
     bx, by, bz, bt = params.block
     bg = BlockGeometry(dirac_up.geom, bx, by, bz, bt, params.nvec)
-    v = generate_null_vectors(dirac_up, bg, key, params)
+    v = _null_vectors_for(dirac_up, bg, key, params)
     transfer = Transfer(v=v, bg=bg)
     mgs = []
     for d in (dirac_up, dirac_dn):
