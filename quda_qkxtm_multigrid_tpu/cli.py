@@ -60,6 +60,13 @@ def _common(p):
                    help="MG outer: gcr-pc = the reference production "
                         "DIRECT_PC path (outer Krylov on the Schur "
                         "system)")
+    p.add_argument("--mg-load-vecs", dest="mg_vec_infile", type=str,
+                   default="", help="load null vectors (vec_infile, "
+                                    "quda.h:389-393) — skips setup "
+                                    "generation")
+    p.add_argument("--mg-save-vecs", dest="mg_vec_outfile", type=str,
+                   default="", help="save null vectors after setup "
+                                    "(vec_outfile)")
     p.add_argument("--delta-muPR", dest="delta_mu_pr", type=float,
                    default=1.0)
     p.add_argument("--delta-kappaPR", dest="delta_kappa_pr", type=float,
@@ -85,6 +92,8 @@ def _mg_params(args):
                     setup_maxiter=args.mg_setup_maxiter,
                     nu_pre=args.mg_nu_pre, nu_post=args.mg_nu_post,
                     smoother_pc=True,
+                    vec_infile=args.mg_vec_infile,
+                    vec_outfile=args.mg_vec_outfile,
                     delta_mu_pr=args.delta_mu_pr,
                     delta_kappa_pr=args.delta_kappa_pr,
                     delta_csw_pr=args.delta_csw_pr,

@@ -20,6 +20,32 @@ def load_null_vectors(path: str):
         return f["v"]
 
 
+def fetch_complex(x) -> np.ndarray:
+    """Device complex array → host numpy.  Complex d2h fetch raises
+    UNIMPLEMENTED on the axon TPU backend (utils/backend_quirks.py):
+    fetch (re, im) through a jit program and recombine on host."""
+    import jax
+    import jax.numpy as jnp
+    re, im = jax.jit(lambda v: (jnp.real(v), jnp.imag(v)))(x)
+    return np.asarray(re) + 1j * np.asarray(im)
+
+
+def upload_complex(a: np.ndarray, dtype):
+    """Host complex numpy → device complex array via a (re, im) jit
+    combine (the h2d mirror of fetch_complex)."""
+    import jax
+    import jax.numpy as jnp
+    rdt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    re = jnp.asarray(np.ascontiguousarray(a.real), rdt)
+    im = jnp.asarray(np.ascontiguousarray(a.imag), rdt)
+    return jax.jit(lambda r, i: jax.lax.complex(r, i))(re, im)
+
+
+def load_null_vectors_device(path: str, dtype):
+    """vec_infile loader returning the blocked V on device."""
+    return upload_complex(load_null_vectors(path), dtype)
+
+
 def save_eigenpairs(path: str, evals, evecs, resid=None):
     """Deflation eigenpairs (the analogue of QKXTM_Deflation's
     eigenvector read/write)."""

@@ -322,3 +322,28 @@ class TestFourLevel:
         relres = float(jnp.linalg.norm(r.ravel())
                        / jnp.linalg.norm(b.ravel()))
         assert relres < 1e-5, relres
+
+
+def test_vec_infile_outfile_roundtrip(tmp_path, monkeypatch):
+    """vec_outfile saves the blocked V after setup; vec_infile skips
+    generation entirely and reproduces the same preconditioner
+    (reference MG::loadVectors/saveVectors, quda.h:389-393)."""
+    import quda_qkxtm_multigrid_tpu.mg.multigrid as mgmod
+    d = _dirac(kind="twisted-mass", kappa=0.115, mu=0.1)
+    b = rng.random_spinor(jax.random.PRNGKey(9), GEOM)
+    path = str(tmp_path / "nullvecs.npz")
+    p_save = MGParams(block=(2, 2, 2, 2), nvec=4, setup_tol=1e-4,
+                      setup_maxiter=60, vec_outfile=path)
+    mg1 = setup_mg(d, p_save, jax.random.PRNGKey(3))
+    out1 = mg_solve(mg1, b, tol=1e-8)
+
+    def _boom(*a, **kw):
+        raise AssertionError("vec_infile must skip generation")
+
+    monkeypatch.setattr(mgmod, "generate_null_vectors", _boom)
+    p_load = MGParams(block=(2, 2, 2, 2), nvec=4, setup_tol=1e-4,
+                      setup_maxiter=60, vec_infile=path)
+    mg2 = setup_mg(d, p_load, jax.random.PRNGKey(99))
+    out2 = mg_solve(mg2, b, tol=1e-8)
+    np.testing.assert_allclose(np.asarray(out2.x), np.asarray(out1.x),
+                               rtol=0, atol=1e-10)
