@@ -154,29 +154,39 @@ def main():
         psi_ch = jax.jit(
             lambda p: _to_channels(p[1]).astype(jnp.float32))(psi)
 
-        def run_config(bf16):
+        def run_config(bf16, sp_dtype=jnp.float32):
             g_ch = jax.jit(lambda ud: gauge_channels(
                 ud, 0, True, bf16))(ud)
+            p_in = jax.jit(lambda p: p.astype(sp_dtype))(psi_ch)
 
             def chain(n):
                 @jax.jit
                 def f(g, p):
                     def body(i, v):
-                        return dslash_ch_auto(g, v, 0, geom, recon12=True,
-                                              bf16=bf16) * 0.125
-                    return jnp.sum(jnp.abs(
-                        jax.lax.fori_loop(0, n, body, p)))
+                        o = dslash_ch_auto(g, v, 0, geom, recon12=True,
+                                           bf16=bf16, out_dtype=sp_dtype)
+                        return (o * jnp.asarray(0.125, sp_dtype)
+                                ).astype(sp_dtype)
+                    return jnp.sum(jnp.abs(jax.lax.fori_loop(
+                        0, n, body, p).astype(jnp.float32)))
                 return f
 
-            return _chain_time(chain, (g_ch, psi_ch), 10, 110)
+            return _chain_time(chain, (g_ch, p_in), 10, 110)
 
-        dt_bf16 = run_config(True)
-        dt_f32 = run_config(False)
+        # headline = the full production SLOPPY tier: bf16 gauge
+        # recon-12 + bf16-SPINOR storage (f32 compute in-kernel) — the
+        # QUDA-half analogue on both operands (enum_quda.h:55-62);
+        # mixed CG recovers full accuracy exactly as QUDA's reliable
+        # updates do (measured: bench_bf16_spinor mixed recovery).
+        dt_half = run_config(True, jnp.bfloat16)
+        dt_bf16g = run_config(True, jnp.float32)
+        dt_f32 = run_config(False, jnp.float32)
         flops = dsl.WILSON_DSLASH_FLOPS_PER_SITE * geom.half_volume
-        gflops = flops / dt_bf16 / 1e9
+        gflops = flops / dt_half / 1e9
         detail.update({
-            "path": "pallas-slab-recon12-bf16gauge-f32spinor",
-            "ms_per_apply": round(dt_bf16 * 1e3, 4),
+            "path": "pallas-slab-recon12-bf16gauge-bf16spinor",
+            "ms_per_apply": round(dt_half * 1e3, 4),
+            "bf16gauge_f32spinor_gflops": round(flops / dt_bf16g / 1e9, 1),
             "f32_gauge_gflops": round(flops / dt_f32 / 1e9, 1),
             "f32_ms_per_apply": round(dt_f32 * 1e3, 4),
         })

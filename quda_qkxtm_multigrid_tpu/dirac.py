@@ -326,6 +326,20 @@ class Dirac:
         [T, 24, Z, W].  Requires even local T so the in-kernel
         checkerboard masks stay valid on every shard.
 
+        WHY t-only (vs the reference's any-subset per-dim partitioning,
+        comm_quda.h:114-121): (1) t-faces are the smallest wire bytes
+        (X·Y·Z/2 sites; a z or w face is T·Y·X/2 ≥ 2x larger at every
+        production geometry here); (2) T is the grid axis of the slab
+        kernel, so a t-halo is two extra BlockSpec rows — a z/w halo
+        lands inside the (Z, W) lane/sublane tile and would either
+        break the (8,128) tile-exact channel layout or force per-hop
+        re-tiling copies; (3) nt ≤ T = 64 chips at 32³×64 covers the
+        slice sizes a single ICI domain offers.  z/w-meshed solves are
+        still CORRECT: invert(mesh=...) falls back to the XLA matpc,
+        whose rolls lower to CollectivePermute on the sharded axes
+        (tests/test_parallel.py covers (2,2,1) grids); only the fused-
+        kernel fast path is t-gated.
+
         overlap=True uses the interior/exterior-SPLIT kernels
         (dslash_ch_pallas5_overlap_local): per hop the face ppermute and
         the (T_loc−2)-plane interior kernel have NO data dependence, so

@@ -47,6 +47,7 @@ PHASES = [
     ("mg24", 3000, 1),
     ("bf16", 1800, 1),
     ("compact48", 3000, 1),
+    ("df64", 1800, 1),
 ]
 
 
@@ -97,6 +98,8 @@ def run_phase(phase: str) -> None:
     elif phase == "compact48":
         _append(phase, B.bench_compact(Geometry(48, 48, 48, 96),
                                        tol=1e-6, maxiter=600))
+    elif phase == "df64":
+        _append(phase, B.bench_df64(Geometry(16, 16, 16, 32)))
     else:
         raise SystemExit(f"unknown phase {phase!r}")
 
