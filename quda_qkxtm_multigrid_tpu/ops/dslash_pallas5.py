@@ -31,7 +31,9 @@ def _plane_body(geom: Geometry, dagger: bool, parity: int,
                 recon12: bool, bf16: bool, twist, xpay_coef, clover,
                 t_idx, ld_c, ld_tp, ld_tm, ld_g, ld_cinv, ld_x, store,
                 recon8: bool = False, post_op=None, store2=None,
-                tp_proj: bool = False, tm_proj: bool = False):
+                tp_proj: bool = False, tm_proj: bool = False,
+                ld_zp=None, ld_zm=None, zb: int | None = None,
+                z_off=0):
     """One output t-plane of the fused Wilson-type stencil, abstracted
     over HOW channel planes are loaded/stored so both the per-plane (v5)
     and slab-blocked grids share one body.  ld_* : channel-index →
@@ -50,12 +52,13 @@ def _plane_body(geom: Geometry, dagger: bool, parity: int,
     conjugate transpose.  Mutually exclusive with twist."""
     assert not (twist is not None and clover is not None)
     Xh, W, Z = geom.Xh, geom.W, geom.Z
-    zb = Z
+    if zb is None:
+        zb = Z
     zloc = jax.lax.broadcasted_iota(jnp.int32, (zb, W), 0)
     wlane = jax.lax.broadcasted_iota(jnp.int32, (zb, W), 1)
     y = wlane // Xh
     k = wlane - y * Xh
-    s0 = ((t_idx + zloc + y + parity) % 2) == 0
+    s0 = ((t_idx + z_off + zloc + y + parity) % 2) == 0
     k_last = k == Xh - 1
     k_first = k == 0
 
@@ -157,8 +160,18 @@ def _plane_body(geom: Geometry, dagger: bool, parity: int,
             return psi(ld_tp if forward else ld_tm, *ch)
         v = psi(ld_c, *ch)
         if mu == 2:
-            # full-Z block: z±1 is a sublane roll, wrap included
-            return pltpu.roll(v, Z - 1 if forward else 1, axis=0)
+            # z±1 is a sublane roll (wrap included for the full-Z
+            # block); in the zb-blocked grid the wrapped edge row is
+            # patched from the 8-row z-halo block of the neighbouring
+            # grid step (row 0 of the z+ halo / row 7 of the z− halo)
+            rolled = pltpu.roll(v, zb - 1 if forward else 1, axis=0)
+            if ld_zp is None:
+                return rolled
+            if forward:
+                edge = psi(ld_zp, *ch)[0:1]
+                return jnp.where(zloc == zb - 1, edge, rolled)
+            edge = psi(ld_zm, *ch)[7:8]
+            return jnp.where(zloc == 0, edge, rolled)
         return shift_y(v, forward) if mu == 1 else shift_x(v, forward)
 
     def cmul_const(cr, ci, vr, vi):
@@ -304,14 +317,23 @@ def _kernel_v5(geom: Geometry, dagger: bool, parity: int,
                recon12: bool, bf16: bool,
                twist: tuple | None = None, xpay_coef: float | None = None,
                clover: str | None = None, recon8: bool = False,
-               post_op=None):
+               post_op=None, zb: int | None = None):
     """Per-t-plane grid: one output plane per step, t± neighbours as
-    separate plane operands (see _plane_body for the epilogue zoo)."""
+    separate plane operands (see _plane_body for the epilogue zoo).
+    zb: Z-blocked form — grid (T, Z//zb), two extra 8-row z-halo
+    operands, the VMEM gate for huge planes (48³×96: a full
+    Z×W = 48×1152 operand set exceeds the 120 MB scoped limit)."""
 
     def kernel(*refs):
         refs = list(refs)
-        psi_c, psi_tp, psi_tm, g_ref = refs[:4]
-        pos = 4
+        psi_c, psi_tp, psi_tm = refs[:3]
+        pos = 3
+        psi_zp = psi_zm = None
+        if zb is not None:
+            psi_zp, psi_zm = refs[3:5]
+            pos = 5
+        g_ref = refs[pos]
+        pos += 1
         cinv_ref = None
         if clover is not None:
             cinv_ref = refs[pos]
@@ -336,13 +358,16 @@ def _kernel_v5(geom: Geometry, dagger: bool, parity: int,
         def store2(idx, val):
             out2_ref[0, idx] = val.astype(out2_ref.dtype)
 
+        z_off = pl.program_id(1) * zb if zb is not None else 0
         _plane_body(geom, dagger, parity, recon12, bf16, twist, xpay_coef,
                     clover, pl.program_id(0), _mk(psi_c), _mk(psi_tp),
                     _mk(psi_tm), _mk(g_ref), _mk(cinv_ref),
                     (lambda idx: x_ref[0, idx].astype(jnp.float32))
                     if x_ref is not None else None, store, recon8=recon8,
                     post_op=post_op,
-                    store2=store2 if post_op is not None else None)
+                    store2=store2 if post_op is not None else None,
+                    ld_zp=_mk(psi_zp), ld_zm=_mk(psi_zm), zb=zb,
+                    z_off=z_off)
 
     return kernel
 
@@ -411,7 +436,7 @@ def dslash_ch_pallas5(g_ch, psi_ch, parity: int, geom: Geometry,
                       xpay_coef: float | None = None, x_ch=None,
                       clover: str | None = None, cinv_ch=None,
                       recon8: bool = False, post_op=None,
-                      out_dtype=jnp.float32):
+                      out_dtype=jnp.float32, zb: int | None = None):
     """Channel-domain v5: psi_ch/g_ch/x_ch already in planar-channel
     layout ([T, 24, Z, W] / [T, 96|144, Z, W]), output [T, 24, Z, W]
     f32.  Solver hot loops stay in this layout end-to-end — the
@@ -423,34 +448,70 @@ def dslash_ch_pallas5(g_ch, psi_ch, parity: int, geom: Geometry,
     bf16-SPINOR storage tier — the QUDA-half spinor analogue
     (enum_quda.h:55-62) without the per-site norm array (bf16 shares
     f32's exponent range, so fixed-point scaling is unnecessary);
-    compute stays f32 inside the kernel."""
+    compute stays f32 inside the kernel.
+
+    zb: Z-block the grid into (T, Z//zb) steps with 8-row z-halo
+    operands — the VMEM gate for huge planes (48³×96 CompactDirac: one
+    full 48×1152 operand set is 121.7 MB scoped vs the 120 MB limit —
+    measured on-chip r4).  Requires zb % 8 == 0 and Z % zb == 0; the
+    halo patch costs (zb+16)/zb psi fetch traffic."""
     T, Z, W = geom.T, geom.Z, geom.W
     ng = 64 if recon8 else (96 if recon12 else 144)
+    if zb is not None and (zb % 8 or Z % zb or zb >= Z):
+        raise ValueError(f"invalid zb={zb} for Z={Z}")
 
     kernel = _kernel_v5(geom, dagger, parity, recon12, bf16, twist,
-                        xpay_coef, clover, recon8=recon8, post_op=post_op)
-    pspec = lambda im: pl.BlockSpec((1, 24, Z, W), im,
-                                    memory_space=pltpu.VMEM)
-    ins = [psi_ch, psi_ch, psi_ch, g_ch]
-    in_specs = [pspec(lambda i: (i, 0, 0, 0)),
-                pspec(lambda i: ((i + 1) % T, 0, 0, 0)),
-                pspec(lambda i: ((i - 1) % T, 0, 0, 0)),
-                pl.BlockSpec((1, ng, Z, W), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)]
+                        xpay_coef, clover, recon8=recon8, post_op=post_op,
+                        zb=zb)
+    if zb is None:
+        grid = (T,)
+        pspec = lambda im: pl.BlockSpec((1, 24, Z, W), im,
+                                        memory_space=pltpu.VMEM)
+        ins = [psi_ch, psi_ch, psi_ch, g_ch]
+        in_specs = [pspec(lambda i: (i, 0, 0, 0)),
+                    pspec(lambda i: ((i + 1) % T, 0, 0, 0)),
+                    pspec(lambda i: ((i - 1) % T, 0, 0, 0)),
+                    pl.BlockSpec((1, ng, Z, W), lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+        cspec = pl.BlockSpec((1, 144, Z, W), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        xspec = pspec(lambda i: (i, 0, 0, 0))
+        ospec = pl.BlockSpec((1, 24, Z, W), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    else:
+        nzb = Z // zb
+        hb = zb // 8            # halo block index stride (8-row units)
+        grid = (T, nzb)
+        pspec = lambda im: pl.BlockSpec((1, 24, zb, W), im,
+                                        memory_space=pltpu.VMEM)
+        hspec = lambda im: pl.BlockSpec((1, 24, 8, W), im,
+                                        memory_space=pltpu.VMEM)
+        ins = [psi_ch, psi_ch, psi_ch, psi_ch, psi_ch, g_ch]
+        in_specs = [
+            pspec(lambda i, j: (i, 0, j, 0)),
+            pspec(lambda i, j: ((i + 1) % T, 0, j, 0)),
+            pspec(lambda i, j: ((i - 1) % T, 0, j, 0)),
+            # z+ halo: first 8 rows of the next z block
+            hspec(lambda i, j: (i, 0, ((j + 1) % nzb) * hb, 0)),
+            # z− halo: last 8 rows of the previous z block
+            hspec(lambda i, j: (i, 0, ((j - 1) % nzb) * hb + hb - 1, 0)),
+            pl.BlockSpec((1, ng, zb, W), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM)]
+        cspec = pl.BlockSpec((1, 144, zb, W), lambda i, j: (i, 0, j, 0),
+                             memory_space=pltpu.VMEM)
+        xspec = pspec(lambda i, j: (i, 0, j, 0))
+        ospec = pl.BlockSpec((1, 24, zb, W), lambda i, j: (i, 0, j, 0),
+                             memory_space=pltpu.VMEM)
     if clover is not None:
         ins.append(cinv_ch)
-        in_specs.append(pl.BlockSpec((1, 144, Z, W),
-                                     lambda i: (i, 0, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(cspec)
     if xpay_coef is not None:
         ins.append(x_ch)
-        in_specs.append(pspec(lambda i: (i, 0, 0, 0)))
-    ospec = pl.BlockSpec((1, 24, Z, W), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
+        in_specs.append(xspec)
     oshape = jax.ShapeDtypeStruct((T, 24, Z, W), out_dtype)
     return pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=grid,
         in_specs=in_specs,
         out_specs=(ospec, ospec) if post_op is not None else ospec,
         out_shape=(oshape, oshape) if post_op is not None else oshape,
@@ -529,6 +590,50 @@ def slab_vmem_bytes(geom: Geometry, tb: int, recon12: bool, bf16: bool,
     return 2 * tot                   # pallas double-buffers each operand
 
 
+def plane_vmem_bytes(geom: Geometry, zb: int | None, recon12: bool,
+                     bf16: bool, clover: bool, xpay: bool,
+                     recon8: bool = False, post_op: bool = False) -> int:
+    """Double-buffered VMEM footprint estimate of the per-plane kernel
+    (optionally Z-blocked to zb rows + two 8-row halos)."""
+    Z = geom.Z if zb is None else zb
+    halo_rows = 0 if zb is None else 16
+    row = geom.W * 4
+    opsz = 2 if bf16 else 4
+    ng = 64 if recon8 else (96 if recon12 else 144)
+    tot = 3 * 24 * Z * row                   # psi + t± planes (f32)
+    tot += 24 * halo_rows * row              # z halos
+    tot += ng * Z * geom.W * opsz            # gauge
+    if clover:
+        tot += 144 * Z * geom.W * opsz
+    if xpay:
+        tot += 24 * Z * row
+    tot += 24 * Z * row                      # out
+    if post_op:
+        tot += 24 * Z * row                  # second output
+    return 2 * tot                           # double-buffering
+
+
+def pick_plane_zb(geom: Geometry, recon12: bool, bf16: bool,
+                  clover: bool, xpay: bool, recon8: bool = False,
+                  post_op: bool = False,
+                  budget: int = 88 * 1024 * 1024) -> int | None:
+    """Smallest-count Z-blocking that fits the plane kernel in VMEM:
+    None (full Z) when it already fits, else the largest zb (multiple
+    of 8, divisor of Z, < Z).  The budget leaves headroom under the
+    120 MB scoped limit for Mosaic scratch (~26 MB observed in the r4
+    on-chip compile report: 121.7 MB scoped for a ~95 MB operand
+    model)."""
+    if plane_vmem_bytes(geom, None, recon12, bf16, clover, xpay,
+                        recon8=recon8, post_op=post_op) <= budget:
+        return None
+    for zb in range(geom.Z - 8, 7, -8):
+        if geom.Z % zb == 0 and plane_vmem_bytes(
+                geom, zb, recon12, bf16, clover, xpay, recon8=recon8,
+                post_op=post_op) <= budget:
+            return zb
+    raise ValueError(f"no Z-blocking fits VMEM at geom {geom.dims}")
+
+
 def pick_slab_tb(geom: Geometry, recon12: bool, bf16: bool, clover: bool,
                  xpay: bool, budget: int = 80 * 1024 * 1024,
                  recon8: bool = False) -> int:
@@ -579,7 +684,17 @@ def dslash_ch_auto(g_ch, psi_ch, parity: int, geom: Geometry,
     if tb and tb > 1:
         return dslash_ch_pallas5_slab(g_ch, psi_ch, parity, geom, tb=tb,
                                       **kw)
-    return dslash_ch_pallas5(g_ch, psi_ch, parity, geom, **kw)
+    zb = None
+    if not kw.get("interpret"):
+        # huge planes (48³×96: Z×W = 48×1152) overflow scoped VMEM even
+        # per-plane — Z-block with halo rows (measured on-chip r4)
+        zb = pick_plane_zb(geom, kw.get("recon12", False),
+                           kw.get("bf16", False),
+                           kw.get("clover") is not None,
+                           kw.get("xpay_coef") is not None,
+                           recon8=kw.get("recon8", False),
+                           post_op=kw.get("post_op") is not None)
+    return dslash_ch_pallas5(g_ch, psi_ch, parity, geom, zb=zb, **kw)
 
 
 def gauge_channels(ud, parity: int, recon12: bool, bf16: bool,
