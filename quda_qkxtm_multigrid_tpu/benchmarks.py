@@ -129,12 +129,13 @@ def bench_compact(geom, tol: float = 1e-7, maxiter: int = 2000,
                   for a in t if a is not None)
     b = jax.jit(lambda: fields.point_source(geom, source, 0, 0,
                                             dtype=jnp.complex64))()
-    solve = jax.jit(lambda cd, b: invert_compact_full(
-        cd, b, tol=tol, maxiter=maxiter))
-    out = solve(cd, b)                       # cold (compiles)
+    # EAGER two-program driver (solve + separate certified residual):
+    # jit-wrapping it re-fuses the programs and corrupts both (the
+    # backend residual-fold quirk, compact.invert_compact docstring)
+    out = invert_compact_full(cd, b, tol=tol, maxiter=maxiter)  # cold
     res = float(out.true_res)
     t0 = time.perf_counter()
-    out = solve(cd, b)
+    out = invert_compact_full(cd, b, tol=tol, maxiter=maxiter)
     res = float(out.true_res)
     secs = time.perf_counter() - t0
     iters = int(out.iters)

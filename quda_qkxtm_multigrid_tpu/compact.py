@@ -275,9 +275,35 @@ def make_compact(u, params: DiracParams, geom: Geometry,
             u, geom)
         g = tuple(gauge_channels(ud, p_, True, bf16) for p_ in (0, 1))
         if params.has_clover:
-            ci = tuple(clover_channels(d.clover_inv, p_, bf16)
+            clov, cinv = d.clover, d.clover_inv
+            if bf16:
+                # PRECISION CONSISTENCY (measured on-chip r4): storing
+                # independently-rounded bf16 A and bf16 A⁻¹ breaks the
+                # Schur identity at bf16 eps — reconstructed solutions
+                # bottom out at ~4e-3 full-operator residual no matter
+                # how far the PC system converges.  Round A to bf16
+                # FIRST, invert the ROUNDED operator, and keep that
+                # inverse in f32: the stored pair is then mutually
+                # consistent to f32 eps and the compact solve certifies
+                # to ~1e-7 (QUDA's half tier sidesteps this by applying
+                # cloverInvert to the same stored field,
+                # lib/clover_invert.cu).
+                from quda_qkxtm_multigrid_tpu.ops import clover as _cl
+                clov = jax.lax.complex(
+                    jnp.real(clov).astype(jnp.bfloat16).astype(
+                        jnp.float32),
+                    jnp.imag(clov).astype(jnp.bfloat16).astype(
+                        jnp.float32)).astype(clov.dtype)
+                if params.kind == "twisted-clover" and params.mu != 0.0:
+                    cinv = _cl.invert_clover(_cl.clover_with_twist(
+                        clov, params.kappa, params.mu, params.flavor))
+                else:
+                    cinv = _cl.invert_clover(clov)
+            # cinv stays f32-channel even in the bf16 tier (the kernel
+            # astype is a no-op on f32 refs); cl is exactly bf16-valued
+            ci = tuple(clover_channels(cinv, p_, False)
                        for p_ in (0, 1))
-            cl = tuple(clover_channels(d.clover, p_, bf16)
+            cl = tuple(clover_channels(clov, p_, bf16)
                        for p_ in (0, 1))
         else:
             ci = cl = (None, None)
@@ -305,8 +331,18 @@ def make_compact(u, params: DiracParams, geom: Geometry,
 def invert_compact(cd: CompactDirac, b_e, b_o, tol: float = 1e-7,
                    maxiter: int = 2000, interpret: bool = False):
     """CG solve of M x = b entirely in channel storage; returns
-    ((x_e, x_o), iters, per-parity residual fields).  The caller holds
-    b as channel fields (e.g. from a host-staged source)."""
+    ((x_e, x_o), iters, loop r² of the normal system).  The caller
+    holds b as channel fields (e.g. from a host-staged source).
+
+    Deliberately does NOT recompute b − M x here: a jit program that
+    combines the solver while_loop with a post-loop residual recompute
+    miscompiles on the axon backend — XLA folds the recomputed residual
+    back into the loop's recursed form, corrupting BOTH the reported
+    residual and the loop's own convergence (observed on-chip r4:
+    13 'converged' iterations with a 4e-3 true residual at every
+    volume; the same chain certifies 7e-8 when the residual runs as
+    its own program — utils/backend_quirks.py Q4, mg_solve pattern).
+    Use compact_true_residual for certification."""
     from quda_qkxtm_multigrid_tpu.solvers.cg import cg
 
     src = cd.prepare_ch(b_e, b_o, interpret)
@@ -314,31 +350,55 @@ def invert_compact(cd: CompactDirac, b_e, b_o, tol: float = 1e-7,
     res = cg(lambda v: cd.matpc_dagm_ch(v, interpret), rhs, tol=tol,
              maxiter=maxiter)
     x_e, x_o = cd.reconstruct_ch(res.x, b_e, b_o, interpret)
-    m_e, m_o = cd.m_ch(x_e, x_o, interpret)
-    r_e, r_o = b_e - m_e, b_o - m_o
-    return (x_e, x_o), res.iters, (r_e, r_o)
+    rhs2 = jnp.sum(rhs * rhs)
+    return (x_e, x_o), res.iters, res.r2 / rhs2
 
 
 @partial(jax.jit, static_argnames=("tol", "maxiter", "interpret"))
-def invert_compact_full(cd: CompactDirac, b, tol: float = 1e-7,
-                        maxiter: int = 2000, interpret: bool = False):
-    """Full-field front end to invert_compact: b is the canonical
-    [2,4,3,T,Z,W] complex spinor; channel conversion, the CG chain, and
-    the true-residual all run inside ONE jit program (the conversion is
-    once-per-solve, never in the hot loop).  Returns an
-    invert.InvertResult, so workflows can use a CompactDirac wherever
-    they use a Dirac (the wiring of the reference's sloppy-resident
-    gauge into invertQuda, interface_quda.cpp:1039/2276)."""
+def _invert_compact_x(cd: CompactDirac, b, tol, maxiter, interpret):
     from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
         _to_channels, _from_channels)
-    from quda_qkxtm_multigrid_tpu.invert import InvertResult
-
     b_e = _to_channels(b[0]).astype(jnp.float32)
     b_o = _to_channels(b[1]).astype(jnp.float32)
-    (x_e, x_o), iters, (r_e, r_o) = invert_compact(
+    (x_e, x_o), iters, rel2 = invert_compact(
         cd, b_e, b_o, tol=tol, maxiter=maxiter, interpret=interpret)
     x = jnp.stack([_from_channels(x_e, (4, 3)),
                    _from_channels(x_o, (4, 3))]).astype(b.dtype)
+    return x, iters, rel2
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def compact_true_residual(cd: CompactDirac, x, b, interpret: bool = False):
+    """(r, |r|/|b|) of the compact full operator as its OWN program,
+    returning the residual FIELD beside the scalar (backend_quirks Q1 +
+    Q4 — the in-solve-program recompute miscompiles)."""
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
+        _to_channels, _from_channels)
+    x_e = _to_channels(x[0]).astype(jnp.float32)
+    x_o = _to_channels(x[1]).astype(jnp.float32)
+    b_e = _to_channels(b[0]).astype(jnp.float32)
+    b_o = _to_channels(b[1]).astype(jnp.float32)
+    m_e, m_o = cd.m_ch(x_e, x_o, interpret)
+    r_e, r_o = b_e - m_e, b_o - m_o
     r2 = jnp.sum(r_e * r_e) + jnp.sum(r_o * r_o)
     b2 = jnp.sum(b_e * b_e) + jnp.sum(b_o * b_o)
-    return InvertResult(x, iters, jnp.sqrt(r2 / b2))
+    r = jnp.stack([_from_channels(r_e, (4, 3)),
+                   _from_channels(r_o, (4, 3))]).astype(b.dtype)
+    return r, jnp.sqrt(r2 / b2)
+
+
+def invert_compact_full(cd: CompactDirac, b, tol: float = 1e-7,
+                        maxiter: int = 2000, interpret: bool = False):
+    """Full-field front end: b is the canonical [2,4,3,T,Z,W] complex
+    spinor.  EAGER two-program driver (the mg_solve pattern): the CG
+    chain runs as one jit program, the certified true residual as a
+    second — combining them corrupts both on the axon backend (see
+    invert_compact docstring).  Returns an invert.InvertResult, so
+    workflows can use a CompactDirac wherever they use a Dirac (the
+    wiring of the reference's sloppy-resident gauge into invertQuda,
+    interface_quda.cpp:1039/2276)."""
+    from quda_qkxtm_multigrid_tpu.invert import InvertResult
+
+    x, iters, _ = _invert_compact_x(cd, b, tol, maxiter, interpret)
+    _, rel = compact_true_residual(cd, x, b, interpret)
+    return InvertResult(x, iters, rel)

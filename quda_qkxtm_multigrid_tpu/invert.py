@@ -76,6 +76,18 @@ def invert(dirac: Dirac, b, tol: float = 1e-10, maxiter: int = 1000,
         if solver != "cg":
             raise ValueError(f"CompactDirac supports solver='cg' only, "
                              f"got {solver!r}")
+        if isinstance(b, jax.core.Tracer):
+            # traced caller (e.g. the jitted _solve_column): program
+            # splitting is impossible here, and fusing the solve with a
+            # post-loop residual recompute corrupts both on the axon
+            # backend (compact.invert_compact docstring) — return the
+            # loop-carried preconditioned-system residual instead of a
+            # recomputed one (same convention as the fused-pallas path
+            # inside one program).
+            from quda_qkxtm_multigrid_tpu.compact import _invert_compact_x
+            x, iters, rel2 = _invert_compact_x(
+                dirac, b, tol, maxiter, dirac.interpret)
+            return InvertResult(x, iters, jnp.sqrt(rel2))
         return invert_compact_full(dirac, b, tol=tol, maxiter=maxiter,
                                    interpret=dirac.interpret)
     if mesh is not None and solver == "cg" and _fused_tm(dirac):

@@ -171,7 +171,8 @@ def build_coarse_op_direct(transfer: "Transfer", diag_apply=None,
     (diag_apply, hop_terms)`` and eager closures (diag_apply,
     hop_terms) remain supported for CPU oracles/tests.  ``batch`` is
     accepted for API compatibility and ignored."""
-    from quda_qkxtm_multigrid_tpu.mg.transfer import from_blocked_flat
+    from quda_qkxtm_multigrid_tpu.mg.transfer import (
+        to_blocked_flat, from_blocked_flat)
 
     bg = transfer.bg
     n, dof = bg.nvec, bg.coarse_dof
@@ -192,28 +193,15 @@ def build_coarse_op_direct(transfer: "Transfer", diag_apply=None,
     # lowers through the MLIR constant handler, whose d2h fetch is the
     # first op to die when HBM is at the edge (the r4 32³×64
     # north-star failure signature); a host constant embeds directly.
-    #
-    # interleaved views for the restriction contractions: BOTH sides of
-    # the einsum are FREE reshapes — v's flat bdof axis unpacks to
-    # (bt,bz,by,bx,2,3) in storage order, and the hop field reaches the
-    # contraction as the lex reshape [tc,bt,zc,bz,yc,by,xc,bx,2,2,3].
-    # The r4 on-chip compile report showed the explicit to_blocked_flat
-    # chain materialising the (…,4,3)-minor transposed intermediate at
-    # 32x tile padding (96 MB → 3.00 GB at 32³×64); handing the dot the
-    # interleaved views lets layout assignment transpose straight into
-    # the MXU operand form (contraction minor = bdof = 1536,
-    # tile-exact).
-    tc_, zc_, yc_, xc_ = bg.coarse_shape
-    il_shape = (tc_, bg.bt, zc_, bg.bz, yc_, bg.by, xc_, bg.bx, 2, 2, 3)
-    masks4 = _face_masks(bg.bt, bg.bz, bg.by, bg.bx).astype(
-        np.float32).reshape(8, 1, bg.bt, 1, bg.bz, 1, bg.by, 1, bg.bx,
-                            1, 1, 1)
+    # (Lex/interleaved-view restrict einsums are deliberately ABSENT:
+    # XLA's layout assignment turns V into the mat-vec matrix side with
+    # the nvec axis minor — a 24 → 128 lane tile-padded copy of the
+    # whole V, 2 × 12.0 GB at 32³×64, measured in the r4 on-chip
+    # compile report; see the matching note in mg/transfer.py.)
+    masks = np.repeat(_face_masks(bg.bt, bg.bz, bg.by, bg.bx),
+                      6, axis=1).astype(np.float32)
 
-    def _v_interleaved(v):
-        return v.reshape((2, tc_, zc_, yc_, xc_, n, bg.bt, bg.bz,
-                          bg.by, bg.bx, 2, 3))
-
-    def _column_source(v, j):
+    def _column_source(vr, vi, j):
         # column source = chirality-masked null vector, computed as a
         # mask+reduce over V's n axis: BOTH the dynamic-slice
         # v[..., j % n, :] and the equivalent one-hot prolong einsum
@@ -221,52 +209,59 @@ def build_coarse_op_direct(transfer: "Transfer", diag_apply=None,
         # tile padding is 2.25-38.6 GB at 32³×64 (bisected on-chip r3,
         # scripts/ns_bisect.py); the fused mask+sum reads V once in its
         # natural layout with no copy.  The n-reduce runs FIRST so the
-        # chirality mask touches only the reduced [2, ..., bdof] field —
-        # the v*cmask*nmask chain held a second V-sized temp.
+        # chirality mask touches only the reduced [2, ..., bdof] field.
         c, b = j // n, j % n
-        nmask = (jnp.arange(n) == b).astype(v.dtype).reshape(
+        nmask = (jnp.arange(n) == b).astype(vr.dtype).reshape(
             1, 1, 1, 1, 1, n, 1)
-        t = (v * nmask).sum(axis=5)
-        cmask = (jnp.arange(2) == c).astype(v.dtype).reshape(
+        cmask = (jnp.arange(2) == c).astype(vr.dtype).reshape(
             2, 1, 1, 1, 1, 1)
-        return from_blocked_flat(t * cmask, bg).astype(dtype)
+        wr = from_blocked_flat((vr * nmask).sum(axis=5) * cmask, bg)
+        wi = from_blocked_flat((vi * nmask).sum(axis=5) * cmask, bg)
+        return jax.lax.complex(wr, wi).astype(dtype)
 
-    def restrict_lex(v, hw):
-        """canonical field → coarse columns [2, n, coarse dims], via
-        the interleaved-view einsum.  conj through the identity
-        conj(V)·f = conj(V·conj(f)): materialising jnp.conj(v) costs a
-        live V-sized negate copy (2.25 GB at 32³×64); conj on the
-        FIELD is ~40 MB."""
-        from quda_qkxtm_multigrid_tpu.lattice import spinor_to_lex
-        il = spinor_to_lex(hw, bg.fine).reshape(il_shape)
-        return jnp.conj(heinsum("qabcdnTZYXsr,aTbZcYdXqsr->qnabcd",
-                                _v_interleaved(v), jnp.conj(il)))
+    def restrict_quad(vr, vi, hw, m=None):
+        """Restrict a fine field (and, when m is given, its face-masked
+        part) against the planar V with FOUR stacked real einsums per
+        V plane — V read once per plane in STORAGE layout (d-minor
+        contraction on both operands, no transposed/pad copies; the
+        complex form additionally re-split V per program, 2 × 2.25 GB
+        of X64Split temps — r4 on-chip report).
 
-    def _col_diag(v, ctx, xacc, j):
+        Returns (tot, face) complex [2, n, coarse…]; face is None when
+        m is None.  S = conj(V)·f: S_re = vr·fr + vi·fi,
+        S_im = vr·fi − vi·fr."""
+        flat = to_blocked_flat(hw, bg)
+        fr, fi = jnp.real(flat), jnp.imag(flat)
+        if m is None:
+            stack = jnp.stack([fr, fi])
+        else:
+            mm = m.astype(fr.dtype)
+            stack = jnp.stack([fr, fi, fr * mm, fi * mm])
+        rr = heinsum("c...nd,kc...d->kcn...", vr, stack)
+        ri = heinsum("c...nd,kc...d->kcn...", vi, stack)
+        tot = jax.lax.complex(rr[0] + ri[1], rr[1] - ri[0])
+        if m is None:
+            return tot, None
+        face = jax.lax.complex(rr[2] + ri[3], rr[3] - ri[2])
+        return tot, face
+
+    def _col_diag(vr, vi, ctx, xacc, j):
         diag_apply = diag_fn(ctx)
-        w = _column_source(v, j)
-        xdiag = restrict_lex(v, diag_apply(w)).reshape(dof, 1, cvol)
-        return jax.lax.dynamic_update_slice(xacc, xdiag, (0, j, 0))
+        w = _column_source(vr, vi, j)
+        xdiag, _ = restrict_quad(vr, vi, diag_apply(w))
+        return jax.lax.dynamic_update_slice(
+            xacc, xdiag.reshape(dof, 1, cvol), (0, j, 0))
 
-    def _col_hops(v, ctx, xacc, yacc, j):
+    def _col_hops(vr, vi, ctx, xacc, yacc, j):
         hop_terms = hops_fn(ctx)
         if len(hop_terms) != 8:
             raise ValueError(f"expected 8 hop terms, got {len(hop_terms)}")
-        w = _column_source(v, j)
+        w = _column_source(vr, vi, j)
 
         def restrict_split(hw, d):
             """fine hop output → (intra-aggregate part, cross-aggregate
-            part) coarse columns, split by the direction-d face mask.
-            tot and face restrict in ONE stacked interleaved einsum so
-            V is read once per hop, not twice, and no blocked-layout
-            intermediate is materialised (see restrict_lex)."""
-            from quda_qkxtm_multigrid_tpu.lattice import spinor_to_lex
-            il = spinor_to_lex(hw, bg.fine).reshape(il_shape)
-            m = jnp.asarray(masks4[d], il.dtype)
-            pair = jnp.stack([il, il * m])
-            rr = jnp.conj(heinsum("qabcdnTZYXsr,kaTbZcYdXqsr->kqnabcd",
-                                  _v_interleaved(v), jnp.conj(pair)))
-            tot, face = rr[0], rr[1]
+            part) coarse columns, split by the direction-d face mask."""
+            tot, face = restrict_quad(vr, vi, hw, masks[d])
             return ((tot - face).reshape(2, n, cvol),
                     face.reshape(2, n, cvol))
 
@@ -289,14 +284,15 @@ def build_coarse_op_direct(transfer: "Transfer", diag_apply=None,
             yacc, yh.reshape(8, dof, 1, cvol), (0, 0, j, 0))
         return xacc, yacc
 
-    upd_diag = jax.jit(_col_diag, donate_argnums=(2,))
-    upd_hops = jax.jit(_col_hops, donate_argnums=(2, 3))
+    upd_diag = jax.jit(_col_diag, donate_argnums=(3,))
+    upd_hops = jax.jit(_col_hops, donate_argnums=(3, 4))
     xacc = jax.jit(lambda: jnp.zeros((dof, dof, cvol), dtype))()
     yacc = jax.jit(lambda: jnp.zeros((8, dof, dof, cvol), dtype))()
+    vr, vi = transfer.v
     for j in range(dof):
-        xacc = upd_diag(transfer.v, ctx_diag, xacc, jnp.asarray(j))
+        xacc = upd_diag(vr, vi, ctx_diag, xacc, jnp.asarray(j))
     for j in range(dof):
-        xacc, yacc = upd_hops(transfer.v, ctx_hops, xacc, yacc,
+        xacc, yacc = upd_hops(vr, vi, ctx_hops, xacc, yacc,
                               jnp.asarray(j))
     return CoarseOperator(x=xacc, y=yacc, bg=bg)
 

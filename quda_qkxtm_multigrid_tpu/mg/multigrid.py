@@ -248,7 +248,7 @@ def _ortho_blocked_batched(batches, bg, n: int | None = None):
       3. two donated cholqr_pass programs (CholQR², 3D operands only).
     """
     from quda_qkxtm_multigrid_tpu.mg.transfer import (
-        to_blocked_flat, cholqr_pass)
+        to_blocked_flat, cholqr_pass_ri)
     if n is None:
         batches = list(batches)
         n = sum(int(b.shape[0]) for b in batches)
@@ -258,23 +258,29 @@ def _ortho_blocked_batched(batches, bg, n: int | None = None):
     # peak saving at 32³×64); n must then be passed explicitly.
     it = iter(batches)
     first = next(it)
-    dtype = first.dtype
+    rdt = jnp.float64 if first.dtype == jnp.complex128 else jnp.float32
     shape = (2,) + bg.coarse_shape + (n, bg.block_volume * 6)
 
-    V = jax.jit(lambda: jnp.zeros(shape, dtype))()
-    conv = jax.jit(
-        lambda V, b, i, j: jax.lax.dynamic_update_slice_in_dim(
-            V, to_blocked_flat(b[j], bg)[..., None, :], i, axis=-2),
-        donate_argnums=(0,))
+    Vr = jax.jit(lambda: jnp.zeros(shape, rdt))()
+    Vi = jax.jit(lambda: jnp.zeros(shape, rdt))()
+
+    def _conv(Vr, Vi, b, i, j):
+        flat = to_blocked_flat(b[j], bg)
+        return (jax.lax.dynamic_update_slice_in_dim(
+                    Vr, jnp.real(flat)[..., None, :], i, axis=-2),
+                jax.lax.dynamic_update_slice_in_dim(
+                    Vi, jnp.imag(flat)[..., None, :], i, axis=-2))
+
+    conv = jax.jit(_conv, donate_argnums=(0, 1))
     i = 0
     b = first
     while b is not None:
         for j in range(int(b.shape[0])):
-            V = conv(V, b, i, j)
+            Vr, Vi = conv(Vr, Vi, b, i, j)
             i += 1
         b = next(it, None)
-    qr = jax.jit(cholqr_pass, donate_argnums=(0,))
-    return qr(qr(V))
+    qr = jax.jit(cholqr_pass_ri, donate_argnums=(0,))
+    return qr(qr((Vr, Vi)))
 
 
 @partial(jax.jit, static_argnames=("geom", "dtype"))
@@ -408,12 +414,20 @@ def _null_vectors_for(dirac, bg, key, params: MGParams):
     infile skips the nvec setup solves entirely — the amortiser for
     repeated solves on one gauge configuration."""
     from quda_qkxtm_multigrid_tpu.utils import checkpoint as ckpt
+    import numpy as _np
     if params.vec_infile:
-        return ckpt.load_null_vectors_device(params.vec_infile,
-                                             dirac.u.dtype)
+        a = ckpt.load_null_vectors(params.vec_infile)
+        rdt = jnp.float64 if dirac.u.dtype == jnp.complex128 \
+            else jnp.float32
+        return (jnp.asarray(_np.ascontiguousarray(a.real), rdt),
+                jnp.asarray(_np.ascontiguousarray(a.imag), rdt))
     v = generate_null_vectors(dirac, bg, key, params)
     if params.vec_outfile:
-        ckpt.save_null_vectors(params.vec_outfile, ckpt.fetch_complex(v))
+        # planar pair → complex on HOST (real d2h fetches are safe on
+        # the axon backend; complex ones are not)
+        ckpt.save_null_vectors(
+            params.vec_outfile,
+            _np.asarray(v[0]) + 1j * _np.asarray(v[1]))
     return v
 
 

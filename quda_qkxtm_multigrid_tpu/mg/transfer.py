@@ -128,14 +128,54 @@ def from_blocked_flat(flat, bg: BlockGeometry):
 
 def block_orthonormalize_flat(v_stacked):
     """CholQR² of stacked flat null vectors: [nvec, 2, Tc,Zc,Yc,Xc, bdof]
-    → the PRODUCTION aggregate-major V storage
-    [2, Tc,Zc,Yc,Xc, nvec, bdof] (every (aggregate, chirality) an
-    independent orthonormalisation block).  Aggregate-major with the
-    (nvec, bdof) = (24, 1536) minor pair is tile-exact under any layout
-    XLA picks at a program boundary — the vector-major form kept
-    acquiring transposed 8x-padded copies on-chip (r3 bisect)."""
+    → the PRODUCTION aggregate-major PLANAR V storage: a (vr, vi) pair
+    of REAL arrays [2, Tc,Zc,Yc,Xc, nvec, bdof] (every (aggregate,
+    chirality) an independent orthonormalisation block).
+
+    Aggregate-major with the (nvec, bdof) = (24, 1536) minor pair is
+    tile-exact under any layout XLA picks at a program boundary — the
+    vector-major form kept acquiring transposed 8x-padded copies
+    on-chip (r3 bisect).  PLANAR (split re/im) because every program
+    consuming a COMPLEX V re-materialises X64SplitHigh/Low copies of
+    the full 4.8 GB array as HLO temps at 32³×64 (r4 on-chip compile
+    report: 2 × 2.25 GB per column program of the coarse build, the
+    final 0.7 GB of the north-star OOM); planar storage feeds the
+    real-arithmetic einsums directly in storage layout."""
     v = jnp.moveaxis(v_stacked, 0, -2)        # [2, XC.., n, d]
-    return cholqr_pass(cholqr_pass(v))
+    pair = (jnp.real(v), jnp.imag(v))
+    return cholqr_pass_ri(cholqr_pass_ri(pair))
+
+
+def cholqr_pass_ri(pair):
+    """cholqr_pass on the planar (vr, vi) pair: the gram and the
+    L^{-dag} application run as real einsums on storage-layout
+    operands; only the tiny [A, n, n] complex factors reach the
+    Cholesky/TriangularSolve custom calls."""
+    vr, vi = pair
+    shp = vr.shape
+    n, d = shp[-2], shp[-1]
+    vr = vr.reshape(-1, n, d)
+    vi = vi.reshape(-1, n, d)
+    # G[m,n] = sum_d conj(V[m,d]) V[n,d]
+    g_re = heinsum("amd,and->amn", vr, vr) \
+        + heinsum("amd,and->amn", vi, vi)
+    g_im = heinsum("amd,and->amn", vr, vi) \
+        - heinsum("amd,and->amn", vi, vr)
+    g = jax.lax.complex(g_re, g_im)
+    l = jnp.linalg.cholesky(g)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+           ).astype(g.dtype)
+    linv = jax.scipy.linalg.solve_triangular(
+        l, jnp.broadcast_to(eye, l.shape), lower=True)
+    lc = jnp.conj(linv)
+    lr, li = jnp.real(lc), jnp.imag(lc)
+    # (V L^{-dag})[n] = sum_m V[m] conj(L^{-1})[n, m]
+    nr = heinsum("amd,anm->and", vr, lr) \
+        - heinsum("amd,anm->and", vi, li)
+    ni = heinsum("amd,anm->and", vr, li) \
+        + heinsum("amd,anm->and", vi, lr)
+    return nr.reshape(shp), ni.reshape(shp)
 
 
 def _block_gs(v, axes):
@@ -255,20 +295,39 @@ class Transfer:
     tile-exact at every program boundary and restrict/prolong are
     MXU-shaped [nvec × bdof] contractions per aggregate."""
 
-    v: Any                      # [2(ch), Tc,Zc,Yc,Xc, nvec, bv*6]
+    v: Any    # PLANAR pair (vr, vi), each [2(ch), Tc,Zc,Yc,Xc, nvec, bv*6]
     bg: BlockGeometry
+
+    @property
+    def v_complex(self):
+        """Complex view of the planar pair (test/oracle tier; never in
+        production programs — it would re-materialise the full V)."""
+        return jax.lax.complex(*self.v)
 
     def restrict(self, psi):
         """fine [2,4,3,T,Z,W] → coarse [2(ch), nvec, Tc,Zc,Yc,Xc]
-        (reference Transfer::R, transfer.h:188)."""
+        (reference Transfer::R, transfer.h:188).  Real-arithmetic
+        einsums on the planar V: S = conj(V)·f with
+        S_re = vr·fr + vi·fi, S_im = vr·fi − vi·fr."""
+        vr, vi = self.v
         flat = to_blocked_flat(psi, self.bg)           # [ch, XC.., d]
-        return heinsum("c...nd,c...d->cn...", jnp.conj(self.v), flat)
+        fr, fi = jnp.real(flat), jnp.imag(flat)
+        s_re = heinsum("c...nd,c...d->cn...", vr, fr) \
+            + heinsum("c...nd,c...d->cn...", vi, fi)
+        s_im = heinsum("c...nd,c...d->cn...", vr, fi) \
+            - heinsum("c...nd,c...d->cn...", vi, fr)
+        return jax.lax.complex(s_re, s_im)
 
     def prolong(self, vc):
         """coarse [2, nvec, Tc,Zc,Yc,Xc] → fine [2,4,3,T,Z,W]
         (reference Transfer::P, transfer.h:181)."""
-        flat = heinsum("c...nd,cn...->c...d", self.v, vc)
-        return from_blocked_flat(flat, self.bg)
+        vr, vi = self.v
+        wr, wi = jnp.real(vc), jnp.imag(vc)
+        fr = heinsum("c...nd,cn...->c...d", vr, wr) \
+            - heinsum("c...nd,cn...->c...d", vi, wi)
+        fi = heinsum("c...nd,cn...->c...d", vr, wi) \
+            + heinsum("c...nd,cn...->c...d", vi, wr)
+        return from_blocked_flat(jax.lax.complex(fr, fi), self.bg)
 
     def flops(self) -> int:
         """8 * nvec * fine-dof per site (reference transfer.cpp R flops)."""

@@ -592,9 +592,12 @@ def slab_vmem_bytes(geom: Geometry, tb: int, recon12: bool, bf16: bool,
 
 def plane_vmem_bytes(geom: Geometry, zb: int | None, recon12: bool,
                      bf16: bool, clover: bool, xpay: bool,
-                     recon8: bool = False, post_op: bool = False) -> int:
+                     recon8: bool = False, post_op: bool = False,
+                     clover_opsz: int | None = None) -> int:
     """Double-buffered VMEM footprint estimate of the per-plane kernel
-    (optionally Z-blocked to zb rows + two 8-row halos)."""
+    (optionally Z-blocked to zb rows + two 8-row halos).  clover_opsz:
+    bytes/element of the cinv operand (the compact bundle keeps cinv
+    f32 beside bf16 gauge for Schur consistency)."""
     Z = geom.Z if zb is None else zb
     halo_rows = 0 if zb is None else 16
     row = geom.W * 4
@@ -604,7 +607,7 @@ def plane_vmem_bytes(geom: Geometry, zb: int | None, recon12: bool,
     tot += 24 * halo_rows * row              # z halos
     tot += ng * Z * geom.W * opsz            # gauge
     if clover:
-        tot += 144 * Z * geom.W * opsz
+        tot += 144 * Z * geom.W * (clover_opsz or opsz)
     if xpay:
         tot += 24 * Z * row
     tot += 24 * Z * row                      # out
@@ -616,7 +619,8 @@ def plane_vmem_bytes(geom: Geometry, zb: int | None, recon12: bool,
 def pick_plane_zb(geom: Geometry, recon12: bool, bf16: bool,
                   clover: bool, xpay: bool, recon8: bool = False,
                   post_op: bool = False,
-                  budget: int = 88 * 1024 * 1024) -> int | None:
+                  budget: int = 88 * 1024 * 1024,
+                  clover_opsz: int | None = None) -> int | None:
     """Smallest-count Z-blocking that fits the plane kernel in VMEM:
     None (full Z) when it already fits, else the largest zb (multiple
     of 8, divisor of Z, < Z).  The budget leaves headroom under the
@@ -624,12 +628,13 @@ def pick_plane_zb(geom: Geometry, recon12: bool, bf16: bool,
     on-chip compile report: 121.7 MB scoped for a ~95 MB operand
     model)."""
     if plane_vmem_bytes(geom, None, recon12, bf16, clover, xpay,
-                        recon8=recon8, post_op=post_op) <= budget:
+                        recon8=recon8, post_op=post_op,
+                        clover_opsz=clover_opsz) <= budget:
         return None
     for zb in range(geom.Z - 8, 7, -8):
         if geom.Z % zb == 0 and plane_vmem_bytes(
                 geom, zb, recon12, bf16, clover, xpay, recon8=recon8,
-                post_op=post_op) <= budget:
+                post_op=post_op, clover_opsz=clover_opsz) <= budget:
             return zb
     raise ValueError(f"no Z-blocking fits VMEM at geom {geom.dims}")
 
@@ -688,12 +693,15 @@ def dslash_ch_auto(g_ch, psi_ch, parity: int, geom: Geometry,
     if not kw.get("interpret"):
         # huge planes (48³×96: Z×W = 48×1152) overflow scoped VMEM even
         # per-plane — Z-block with halo rows (measured on-chip r4)
+        cinv = kw.get("cinv_ch")
         zb = pick_plane_zb(geom, kw.get("recon12", False),
                            kw.get("bf16", False),
                            kw.get("clover") is not None,
                            kw.get("xpay_coef") is not None,
                            recon8=kw.get("recon8", False),
-                           post_op=kw.get("post_op") is not None)
+                           post_op=kw.get("post_op") is not None,
+                           clover_opsz=None if cinv is None
+                           else cinv.dtype.itemsize)
     return dslash_ch_pallas5(g_ch, psi_ch, parity, geom, zb=zb, **kw)
 
 

@@ -93,7 +93,7 @@ fetch("generate_null_vectors", vv)
 print(f"  null vectors: {time.time()-t0:.1f}s", flush=True)
 
 # stage 4: coarse-op probing
-transfer = Transfer(v=vv, bg=bg)
+transfer = Transfer(v=(jnp.real(vv), jnp.imag(vv)), bg=bg)  # planar pair
 coarse = _build_level1(transfer, d)
 fetch("build_coarse_op", (coarse.x, coarse.y))
 

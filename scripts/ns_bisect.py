@@ -44,7 +44,7 @@ def mk(key):
 
 v, vc = mk(jax.random.PRNGKey(0))
 jax.block_until_ready(v)
-tr = Transfer(v=v, bg=bg)
+tr = Transfer(v=(jnp.real(v), jnp.imag(v)), bg=bg)  # planar pair
 stamp("fields ready")
 
 if on("prolong"):

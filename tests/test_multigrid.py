@@ -49,7 +49,7 @@ class TestBlocking:
         t = _transfer()
         # aggregate-major flat layout [2(ch), XC..., nvec, bdof]: inner
         # products within each (aggregate, chirality) over bdof only
-        v = np.asarray(t.v)
+        v = np.asarray(t.v_complex)
         gram = np.einsum("c...md,c...nd->cmn...", v.conj(), v)
         eye = np.eye(BG.nvec).reshape(1, BG.nvec, BG.nvec, 1, 1, 1, 1)
         np.testing.assert_allclose(gram, np.broadcast_to(eye, gram.shape),
