@@ -10,6 +10,8 @@ All constructors emit the canonical lane-major layouts (lattice.py).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -18,6 +20,14 @@ def _real_dtype(dtype):
     return jnp.float64 if dtype == jnp.complex128 else jnp.float32
 
 
+# The public constructors are jitted with static shape params: eager
+# complex arithmetic is unsupported on the axon TPU backend (the error
+# surfaces as a deferred UNIMPLEMENTED at the first host fetch, far
+# from the offending op), so un-jitted constructors were a public-API
+# trap.  jit respects jax.default_device, so host-staged builds
+# (compact.make_compact host=True) are unaffected.
+@partial(jax.jit, static_argnames=("geom", "dtype", "nspin", "ncolor",
+                                   "parity_split", "batch_shape"))
 def random_spinor(key, geom, dtype=jnp.complex128, nspin=4, ncolor=3,
                   parity_split=True, batch_shape=()):
     """Gaussian random color-spinor field [*batch, 2, 4, 3, T, Z, W] —
@@ -61,6 +71,7 @@ def su3_project_leading(a):
     return jnp.stack(rows, axis=0)
 
 
+@partial(jax.jit, static_argnames=("batch_shape", "dtype"))
 def random_su3(key, batch_shape, dtype=jnp.complex128):
     """Random SU(3) matrices [3, 3, *batch_shape] (leading matrix axes) —
     the role of construct_gauge_field's random unitaries
@@ -73,17 +84,20 @@ def random_su3(key, batch_shape, dtype=jnp.complex128):
     return su3_project_leading(a)
 
 
+@partial(jax.jit, static_argnames=("geom", "dtype"))
 def random_gauge(key, geom, dtype=jnp.complex128):
     """Random SU(3) gauge field [4, 2, 3, 3, T, Z, W]."""
     u = random_su3(key, (4, 2) + geom.lat_shape, dtype)   # [3,3,4,2,T,Z,W]
     return jnp.moveaxis(u, (0, 1), (2, 3))
 
 
+@partial(jax.jit, static_argnames=("geom", "dtype"))
 def unit_gauge(geom, dtype=jnp.complex128):
     eye = jnp.eye(3, dtype=dtype).reshape(1, 1, 3, 3, 1, 1, 1)
     return jnp.broadcast_to(eye, (4, 2, 3, 3) + geom.lat_shape).astype(dtype)
 
 
+@partial(jax.jit, static_argnames=("geom", "dtype", "nspin", "ncolor"))
 def z4_source(key, geom, dtype=jnp.complex128, nspin=4, ncolor=3):
     """Z4 stochastic volume source with entries in {+1,+i,-1,-i},
     matching the reference's GSL-ranlux Z4 generator
