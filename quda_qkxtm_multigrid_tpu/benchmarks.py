@@ -68,7 +68,8 @@ def bench_cg(geom, tol: float = 1e-7, maxiter: int = 2000) -> dict:
 
 
 def bench_mg(geom, tol: float = 1e-7, nvec: int = 24,
-             block=(4, 4, 4, 4), solver: str = "gcr") -> dict:
+             block=(4, 4, 4, 4), solver: str = "gcr",
+             vec_dtype: str = "f32") -> dict:
     # tol 1e-7: the c64 true-residual floor on this backend is ~3e-8
     # (both the GCR and Richardson outers stall there; the reference
     # reaches deeper only through its double-precision outer)
@@ -81,7 +82,8 @@ def bench_mg(geom, tol: float = 1e-7, nvec: int = 24,
 
     on_tpu = jax.default_backend() == "tpu"
     d, b = _make(geom, use_pallas=on_tpu)
-    p = MGParams(block=block, nvec=nvec, smoother_pc=True, n_level=2)
+    p = MGParams(block=block, nvec=nvec, smoother_pc=True, n_level=2,
+                 vec_dtype=vec_dtype)
 
     t0 = time.perf_counter()
     mg = setup_mg(d, p, jax.random.PRNGKey(3))
@@ -97,7 +99,7 @@ def bench_mg(geom, tol: float = 1e-7, nvec: int = 24,
     rel = float(rel)
     return {**tel.as_dict(), "true_res": rel, "solver": f"mg-{solver}",
             "setup_secs": round(setup_secs, 2), "nvec": nvec,
-            "block": list(block)}
+            "block": list(block), "vec_dtype": vec_dtype}
 
 
 def bench_compact(geom, tol: float = 1e-7, maxiter: int = 2000,
@@ -287,6 +289,50 @@ def bench_df64(geom, inner_tol: float = 1e-7, tol: float = 1e-10,
             "df64_inner_iters": out_df.inner_iters,
             "df64_total_secs": round(secs, 2),
             "solver": "cg + df64 defect correction"}
+
+
+def bench_matpc_ab(geom, n_lo: int = 4, n_hi: int = 12) -> dict:
+    """Single-chip fused-Pallas vs XLA matpc†·matpc A/B — the recorded
+    basis for the t-only fused-shmap gating (dirac.py
+    _fused_matpc_ch_shmap docstring): z/w-sharded solves fall back to
+    the XLA matpc (rolls → CollectivePermute on sharded axes), so the
+    single-chip gap between the two forms bounds the per-chip kernel
+    cost of choosing a z/w split over t (reference any-dim
+    partitioning, comm_quda.h:114-121).
+
+    Slope timing (n_hi − n_lo chained applies inside one jit, scalar +
+    field outputs per the backend fetch quirk) cancels dispatch/fetch
+    overhead through the remote tunnel."""
+    d_f, b = _make(geom, use_pallas=True)
+    d_x, _ = _make(geom, use_pallas=False)
+    pr = d_f.params.matpc_parity
+    psi = b[pr]
+
+    def chain(d, n):
+        def f(d, v):
+            out = jax.lax.fori_loop(
+                0, n, lambda i, w: d.matpc_dagm(w), v)
+            # field beside the scalar: scalar-only complex reductions
+            # miscompile on this backend (backend_quirks Q1)
+            return out, jnp.real(jnp.sum(out * jnp.conj(out)))
+        return jax.jit(f)
+
+    def per_apply(d):
+        f_lo, f_hi = chain(d, n_lo), chain(d, n_hi)
+        float(f_lo(d, psi)[1]); float(f_hi(d, psi)[1])   # compile
+        best = {n_lo: 1e30, n_hi: 1e30}
+        for n, f in ((n_lo, f_lo), (n_hi, f_hi)):
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(f(d, psi)[1])
+                best[n] = min(best[n], time.perf_counter() - t0)
+        return (best[n_hi] - best[n_lo]) / (n_hi - n_lo)
+
+    t_f, t_x = per_apply(d_f), per_apply(d_x)
+    return {"geom": list(geom.dims),
+            "fused_matpc_dagm_ms": round(t_f * 1e3, 3),
+            "xla_matpc_dagm_ms": round(t_x * 1e3, 3),
+            "xla_over_fused": round(t_x / t_f, 2)}
 
 
 def solve_benchmarks(geom) -> dict:

@@ -83,6 +83,13 @@ class MGParams:
     # generation — the setup-cost amortiser across runs on one gauge
     vec_infile: str = ""
     vec_outfile: str = ""
+    # V-cycle null-vector STORAGE precision (the analogue of the
+    # reference's precision_null, quda.h:351: production runs keep null
+    # vectors in HALF).  The Galerkin coarse operator is always built
+    # from the f32 vectors; "bf16" downcasts the planar V afterwards,
+    # halving its residency (4.8 → 2.4 GB at 32³×64) — it only shapes
+    # the preconditioner, the outer GCR still certifies in f32/c64.
+    vec_dtype: str = "f32"            # "f32" | "bf16"
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -458,12 +465,25 @@ def setup_mg(dirac: Dirac, params: MGParams, key,
             tol=params.setup3_tol, maxiter=params.setup3_maxiter)
     dirac_pr = _delta_scaled(dirac, params.delta_mu_pr,
                              params.delta_kappa_pr, params.delta_csw_pr)
+    transfer = _vec_storage_cast(transfer, params)
     return MGPreconditioner(transfer=transfer, coarse=coarse, dirac=dirac,
                             params=params, transfer2=transfer2,
                             coarse2=coarse2,
                             dirac_pr=None if dirac_pr is dirac
                             else dirac_pr,
                             transfer3=transfer3, coarse3=coarse3)
+
+
+def _vec_storage_cast(transfer: Transfer, params: MGParams) -> Transfer:
+    """Downcast the planar V to the requested STORAGE tier after every
+    coarse operator has been built from the f32 vectors (reference
+    precision_null, quda.h:351 — production null vectors live in HALF).
+    Donated so the f32 planes are freed, not doubled."""
+    if getattr(params, "vec_dtype", "f32") != "bf16":
+        return transfer
+    cast = jax.jit(lambda a: a.astype(jnp.bfloat16), donate_argnums=0)
+    vr, vi = transfer.v
+    return dataclasses.replace(transfer, v=(cast(vr), cast(vi)))
 
 
 def setup_mg_pair(dirac_up: Dirac, dirac_dn: Dirac, params: MGParams,
@@ -500,6 +520,10 @@ def setup_mg_pair(dirac_up: Dirac, dirac_dn: Dirac, params: MGParams,
             transfer2=transfer2, coarse2=coarse2,
             dirac_pr=None if d_pr is d else d_pr,
             transfer3=transfer3, coarse3=coarse3))
+    # storage cast AFTER both flavors' coarse builds read the f32 V
+    tr_cast = _vec_storage_cast(transfer, params)
+    if tr_cast is not transfer:
+        mgs = [dataclasses.replace(m, transfer=tr_cast) for m in mgs]
     return tuple(mgs)
 
 
@@ -627,21 +651,28 @@ def _gcr_step_pc_sharded(mg, x_p, r_p, n_krylov, mesh):
 
 
 @jax.jit
-def _pc_resid(mg, x_p, src):
+def _pc_resid(dirac, x_p, src):
     """(r_p, |r_p|²) for the PC outer in its own program (field output
-    alongside the scalar — see _mr_resid)."""
-    r = src - mg.dirac.matpc(x_p)
+    alongside the scalar — see _mr_resid).
+
+    Takes the DIRAC, not the whole MGPreconditioner: on the axon
+    backend every array in a jit-argument pytree is staged into the
+    program's HBM accounting even when unused, so carrying the planar V
+    (4.8 GB at 32³×64) + coarse X/Y (1.4 GB) into the residual programs
+    OOM'd the north-star solve (r4 on-chip; same lesson as the setup
+    fix in commit abc653f)."""
+    r = src - dirac.matpc(x_p)
     return r, jnp.real(jnp.vdot(r, r))
 
 
 @jax.jit
-def _pc_prepare(mg, b):
-    return mg.dirac.prepare(b)
+def _pc_prepare(dirac, b):
+    return dirac.prepare(b)
 
 
 @jax.jit
-def _pc_reconstruct(mg, x_p, b):
-    return mg.dirac.reconstruct(x_p, b)
+def _pc_reconstruct(dirac, x_p, b):
+    return dirac.reconstruct(x_p, b)
 
 
 _zeros_like = jax.jit(jnp.zeros_like)
@@ -652,15 +683,17 @@ _zeros_like = jax.jit(jnp.zeros_like)
 
 
 @jax.jit
-def _mr_resid(mg, x, b):
+def _mr_resid(dirac, x, b):
     """(r, |r|²) in its own program — see mg_solve docstring.
 
     MUST return the residual FIELD alongside the scalar: a jit program
     computing b − M(x) whose only outputs are reductions of it
     miscompiles on the axon TPU backend (observed r² = 123 where the
     true value, confirmed by host-side numpy on fetched arrays, is
-    9.8e-10; adding r to the outputs yields the correct scalar)."""
-    r = b - mg.dirac.m(x)
+    9.8e-10; adding r to the outputs yields the correct scalar).
+
+    Takes the DIRAC, not the MGPreconditioner — see _pc_resid."""
+    r = b - dirac.m(x)
     return r, jnp.real(jnp.vdot(r, r))
 
 
@@ -725,9 +758,9 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
         solver = getattr(mg.params, "outer_solver", None) or "gcr"
     t0 = _time.perf_counter()
     if solver == "gcr-pc":
-        src = _pc_prepare(mg, b)
+        src = _pc_prepare(mg.dirac, b)
         x_p = _zeros_like(src)
-        r_p, r2 = _pc_resid(mg, x_p, src)
+        r_p, r2 = _pc_resid(mg.dirac, x_p, src)
         b2 = float(r2)
         iters = 0
         for i in range(max_restarts):
@@ -738,9 +771,9 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
             else:
                 x_p = _gcr_step_pc(mg, x_p, r_p, n_krylov)
             iters += n_krylov
-            r_p, r2 = _pc_resid(mg, x_p, src)
-        x = _pc_reconstruct(mg, x_p, b)
-        r, r2_full = _mr_resid(mg, x, b)
+            r_p, r2 = _pc_resid(mg.dirac, x_p, src)
+        x = _pc_reconstruct(mg.dirac, x_p, b)
+        r, r2_full = _mr_resid(mg.dirac, x, b)
         res = GCRResult(x, jnp.asarray(iters), r2_full)
         if telemetry:
             from quda_qkxtm_multigrid_tpu.utils.profiling import (
@@ -755,7 +788,7 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
     # standalone scalar-only complex-reduction program raises
     # UNIMPLEMENTED on the axon backend; _mr_resid carries the field
     # output that makes the reduction well-formed.
-    r, r2 = _mr_resid(mg, x, b)
+    r, r2 = _mr_resid(mg.dirac, x, b)
     b2 = float(r2)
     iters = 0
     if solver == "mr-richardson":
@@ -767,7 +800,7 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
             else:
                 x = _mr_step(mg, x, r)
             iters += 1
-            r, r2 = _mr_resid(mg, x, b)
+            r, r2 = _mr_resid(mg.dirac, x, b)
     elif solver == "gcr":
         for i in range(max_restarts):
             if float(r2) <= tol * tol * b2:
@@ -777,7 +810,7 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
             else:
                 x = _gcr_step(mg, x, r, n_krylov)
             iters += n_krylov
-            r, r2 = _mr_resid(mg, x, b)
+            r, r2 = _mr_resid(mg.dirac, x, b)
     else:
         raise ValueError(f"unknown mg_solve solver {solver!r}")
     res = GCRResult(x, jnp.asarray(iters), r2)

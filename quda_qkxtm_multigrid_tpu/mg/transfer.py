@@ -304,6 +304,19 @@ class Transfer:
         production programs — it would re-materialise the full V)."""
         return jax.lax.complex(*self.v)
 
+    def _ein(self, spec, a, b):
+        """Planar contraction against a V plane.  In the bf16 storage
+        tier (MGParams.vec_dtype, reference precision_null quda.h:351)
+        the FIELD side is cast down to match: a mixed bf16×f32 einsum
+        would be promoted by jnp, re-materialising an f32 copy of the
+        whole V plane in-program — the exact HBM copy planar storage
+        exists to avoid.  bf16×bf16 contracts natively on the MXU;
+        preferred_element_type keeps the accumulation/output f32."""
+        if a.dtype == jnp.bfloat16:
+            return jnp.einsum(spec, a, b.astype(jnp.bfloat16),
+                              preferred_element_type=b.dtype)
+        return heinsum(spec, a, b)
+
     def restrict(self, psi):
         """fine [2,4,3,T,Z,W] → coarse [2(ch), nvec, Tc,Zc,Yc,Xc]
         (reference Transfer::R, transfer.h:188).  Real-arithmetic
@@ -312,10 +325,10 @@ class Transfer:
         vr, vi = self.v
         flat = to_blocked_flat(psi, self.bg)           # [ch, XC.., d]
         fr, fi = jnp.real(flat), jnp.imag(flat)
-        s_re = heinsum("c...nd,c...d->cn...", vr, fr) \
-            + heinsum("c...nd,c...d->cn...", vi, fi)
-        s_im = heinsum("c...nd,c...d->cn...", vr, fi) \
-            - heinsum("c...nd,c...d->cn...", vi, fr)
+        s_re = self._ein("c...nd,c...d->cn...", vr, fr) \
+            + self._ein("c...nd,c...d->cn...", vi, fi)
+        s_im = self._ein("c...nd,c...d->cn...", vr, fi) \
+            - self._ein("c...nd,c...d->cn...", vi, fr)
         return jax.lax.complex(s_re, s_im)
 
     def prolong(self, vc):
@@ -323,10 +336,10 @@ class Transfer:
         (reference Transfer::P, transfer.h:181)."""
         vr, vi = self.v
         wr, wi = jnp.real(vc), jnp.imag(vc)
-        fr = heinsum("c...nd,cn...->c...d", vr, wr) \
-            - heinsum("c...nd,cn...->c...d", vi, wi)
-        fi = heinsum("c...nd,cn...->c...d", vr, wi) \
-            + heinsum("c...nd,cn...->c...d", vi, wr)
+        fr = self._ein("c...nd,cn...->c...d", vr, wr) \
+            - self._ein("c...nd,cn...->c...d", vi, wi)
+        fi = self._ein("c...nd,cn...->c...d", vr, wi) \
+            + self._ein("c...nd,cn...->c...d", vi, wr)
         return from_blocked_flat(jax.lax.complex(fr, fi), self.bg)
 
     def flops(self) -> int:

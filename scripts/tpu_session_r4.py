@@ -48,6 +48,7 @@ PHASES = [
     ("bf16", 1800, 1),
     ("compact48", 3000, 1),
     ("df64", 1800, 1),
+    ("matpc_ab", 1800, 1),
 ]
 
 
@@ -79,8 +80,10 @@ def run_phase(phase: str) -> None:
         _append(phase, B.bench_mg(Geometry(16, 16, 16, 32),
                                   solver="gcr-pc"))
     elif phase == "northstar":
+        # production tier: bf16 null-vector storage (precision_null
+        # HALF analogue) — the f32 V alone is 4.8 GB at this volume
         _append(phase, B.bench_mg(Geometry(32, 32, 32, 64),
-                                  solver="gcr-pc"))
+                                  solver="gcr-pc", vec_dtype="bf16"))
     elif phase == "cg32":
         _append(phase, B.bench_cg(Geometry(32, 32, 32, 64)))
     elif phase == "mg24":
@@ -100,6 +103,8 @@ def run_phase(phase: str) -> None:
                                        tol=1e-6, maxiter=600))
     elif phase == "df64":
         _append(phase, B.bench_df64(Geometry(16, 16, 16, 32)))
+    elif phase == "matpc_ab":
+        _append(phase, B.bench_matpc_ab(Geometry(32, 32, 32, 64)))
     else:
         raise SystemExit(f"unknown phase {phase!r}")
 

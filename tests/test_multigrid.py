@@ -270,6 +270,29 @@ def test_delta_knobs_solve():
     assert rel < 1e-7, rel
 
 
+def test_vec_dtype_bf16_storage_tier():
+    """bf16 null-vector STORAGE (MGParams.vec_dtype, the reference
+    precision_null HALF analogue, quda.h:351): the coarse op is built
+    from f32 vectors, the V-cycle runs on the downcast planar pair, and
+    the outer still certifies to full depth."""
+    from quda_qkxtm_multigrid_tpu.mg.multigrid import (
+        MGParams, setup_mg, mg_solve)
+    u = rng.random_gauge(jax.random.PRNGKey(7), GEOM)
+    b = rng.random_spinor(jax.random.PRNGKey(8), GEOM)
+    d = make_dirac(u, DiracParams(kind="twisted-mass", kappa=0.11,
+                                  mu=0.3), GEOM)
+    params = MGParams(block=(2, 2, 2, 2), nvec=6, setup_tol=1e-4,
+                      setup_maxiter=80, smoother_pc=True,
+                      outer_solver="gcr-pc", vec_dtype="bf16")
+    mg = setup_mg(d, params, jax.random.PRNGKey(3))
+    assert mg.transfer.v[0].dtype == jnp.bfloat16
+    assert mg.transfer.v[1].dtype == jnp.bfloat16
+    out = mg_solve(mg, b, tol=1e-8, max_restarts=40)
+    r = b - d.m(out.x)
+    rel = float(jnp.linalg.norm(r.ravel()) / jnp.linalg.norm(b.ravel()))
+    assert rel < 1e-7, rel
+
+
 def test_cholqr_matches_mgs_oracle():
     """The production CholQR² block orthonormalisation equals the
     sequential modified-Gram-Schmidt oracle (both are the Q of the
