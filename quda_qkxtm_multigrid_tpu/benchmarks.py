@@ -342,8 +342,12 @@ def solve_benchmarks(geom) -> dict:
     round-3 all-or-nothing wrapper lost BOTH records to one tunnel
     failure) and value-ordered mg-first, so whatever the tunnel allows
     is captured."""
+    # bf16 V storage above ~2M sites: the f32 planar V alone is 4.8 GB
+    # at 32³×64 (the north-star OOM, see MGParams.vec_dtype)
+    vd = "bf16" if geom.volume >= 2 * 1024**2 else "f32"
     out = {}
-    for name, fn in (("mg", lambda: bench_mg(geom, solver="gcr-pc")),
+    for name, fn in (("mg", lambda: bench_mg(geom, solver="gcr-pc",
+                                             vec_dtype=vd)),
                      ("cg", lambda: bench_cg(geom))):
         try:
             out[name] = fn()

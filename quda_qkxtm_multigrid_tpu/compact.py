@@ -328,6 +328,7 @@ def make_compact(u, params: DiracParams, geom: Geometry,
                         geom=geom, interpret=interpret)
 
 
+@partial(jax.jit, static_argnames=("tol", "maxiter", "interpret"))
 def invert_compact(cd: CompactDirac, b_e, b_o, tol: float = 1e-7,
                    maxiter: int = 2000, interpret: bool = False):
     """CG solve of M x = b entirely in channel storage; returns
@@ -368,37 +369,75 @@ def _invert_compact_x(cd: CompactDirac, b, tol, maxiter, interpret):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
+def compact_true_residual_ch(cd: CompactDirac, x_e, x_o, b_e, b_o,
+                             interpret: bool = False):
+    """((r_e, r_o), |r|/|b|) entirely in CHANNEL storage — the HBM-lean
+    certification program (no canonical complex fields staged: at
+    48³×96 the canonical x+b alone are 4 GB beside the 7.6 GB operand
+    bundle, which OOM'd the full-field form on-chip r4).  Returns the
+    residual FIELDS beside the scalar (backend_quirks Q1 + Q4)."""
+    m_e, m_o = cd.m_ch(x_e, x_o, interpret)
+    r_e, r_o = b_e - m_e, b_o - m_o
+    r2 = jnp.sum(r_e * r_e) + jnp.sum(r_o * r_o)
+    b2 = jnp.sum(b_e * b_e) + jnp.sum(b_o * b_o)
+    return (r_e, r_o), jnp.sqrt(r2 / b2)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
 def compact_true_residual(cd: CompactDirac, x, b, interpret: bool = False):
     """(r, |r|/|b|) of the compact full operator as its OWN program,
     returning the residual FIELD beside the scalar (backend_quirks Q1 +
-    Q4 — the in-solve-program recompute miscompiles)."""
+    Q4 — the in-solve-program recompute miscompiles).  Canonical-field
+    convenience form (test/small-volume tier); the HBM-lean channel
+    form is compact_true_residual_ch."""
     from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import (
         _to_channels, _from_channels)
     x_e = _to_channels(x[0]).astype(jnp.float32)
     x_o = _to_channels(x[1]).astype(jnp.float32)
     b_e = _to_channels(b[0]).astype(jnp.float32)
     b_o = _to_channels(b[1]).astype(jnp.float32)
-    m_e, m_o = cd.m_ch(x_e, x_o, interpret)
-    r_e, r_o = b_e - m_e, b_o - m_o
-    r2 = jnp.sum(r_e * r_e) + jnp.sum(r_o * r_o)
-    b2 = jnp.sum(b_e * b_e) + jnp.sum(b_o * b_o)
+    (r_e, r_o), rel = compact_true_residual_ch(cd, x_e, x_o, b_e, b_o,
+                                               interpret)
     r = jnp.stack([_from_channels(r_e, (4, 3)),
                    _from_channels(r_o, (4, 3))]).astype(b.dtype)
-    return r, jnp.sqrt(r2 / b2)
+    return r, rel
+
+
+@jax.jit
+def _b_to_channels(b):
+    """Canonical → channel planes as its own program: carries NO
+    operand bundle, so the staged bytes are just b + the planes."""
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import _to_channels
+    return (_to_channels(b[0]).astype(jnp.float32),
+            _to_channels(b[1]).astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def _x_from_channels(x_e, x_o, dtype):
+    from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import _from_channels
+    return jnp.stack([_from_channels(x_e, (4, 3)),
+                      _from_channels(x_o, (4, 3))]).astype(dtype)
 
 
 def invert_compact_full(cd: CompactDirac, b, tol: float = 1e-7,
                         maxiter: int = 2000, interpret: bool = False):
     """Full-field front end: b is the canonical [2,4,3,T,Z,W] complex
-    spinor.  EAGER two-program driver (the mg_solve pattern): the CG
-    chain runs as one jit program, the certified true residual as a
-    second — combining them corrupts both on the axon backend (see
-    invert_compact docstring).  Returns an invert.InvertResult, so
-    workflows can use a CompactDirac wherever they use a Dirac (the
-    wiring of the reference's sloppy-resident gauge into invertQuda,
+    spinor.  EAGER four-program driver (the mg_solve pattern): layout
+    conversion, the CG chain, the certified channel-domain residual,
+    and the solution back-conversion each run as their OWN jit program
+    — combining solve+residual corrupts both on the axon backend (see
+    invert_compact docstring), and staging canonical fields beside the
+    operand bundle OOMs 48³×96 (see compact_true_residual_ch).
+    Returns an invert.InvertResult, so workflows can use a CompactDirac
+    wherever they use a Dirac (the wiring of the reference's
+    sloppy-resident gauge into invertQuda,
     interface_quda.cpp:1039/2276)."""
     from quda_qkxtm_multigrid_tpu.invert import InvertResult
 
-    x, iters, _ = _invert_compact_x(cd, b, tol, maxiter, interpret)
-    _, rel = compact_true_residual(cd, x, b, interpret)
+    b_e, b_o = _b_to_channels(b)
+    (x_e, x_o), iters, _ = invert_compact(cd, b_e, b_o, tol=tol,
+                                          maxiter=maxiter,
+                                          interpret=interpret)
+    _, rel = compact_true_residual_ch(cd, x_e, x_o, b_e, b_o, interpret)
+    x = _x_from_channels(x_e, x_o, jnp.dtype(b.dtype).name)
     return InvertResult(x, iters, rel)

@@ -23,8 +23,12 @@ def fields():
     return u, dsl.double_gauge(u, GEOM), psi
 
 
-@pytest.mark.parametrize("parity", [0, 1])
-@pytest.mark.parametrize("dagger", [False, True])
+@pytest.mark.parametrize("parity,dagger", [
+    (0, False),
+    pytest.param(0, True, marks=pytest.mark.slow),
+    pytest.param(1, False, marks=pytest.mark.slow),
+    pytest.param(1, True, marks=pytest.mark.slow),
+])
 def test_v1_matches_xla(fields, parity, dagger):
     u, ud, psi = fields
     ref = dsl.dslash_parity(u, psi[1 - parity], parity, GEOM, dagger)
@@ -33,8 +37,12 @@ def test_v1_matches_xla(fields, parity, dagger):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("recon12", [False, True])
-@pytest.mark.parametrize("parity", [0, 1])
+@pytest.mark.parametrize("parity,recon12", [
+    (0, True),
+    pytest.param(0, False, marks=pytest.mark.slow),
+    pytest.param(1, False, marks=pytest.mark.slow),
+    pytest.param(1, True, marks=pytest.mark.slow),
+])
 def test_v2_matches_xla(fields, parity, recon12):
     u, ud, psi = fields
     ref = dsl.dslash_parity(u, psi[1 - parity], parity, GEOM)
@@ -43,8 +51,12 @@ def test_v2_matches_xla(fields, parity, recon12):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("recon12", [False, True])
-@pytest.mark.parametrize("parity", [0, 1])
+@pytest.mark.parametrize("parity,recon12", [
+    (0, True),
+    (1, False),
+    pytest.param(0, False, marks=pytest.mark.slow),
+    pytest.param(1, True, marks=pytest.mark.slow),
+])
 def test_v5_matches_xla(fields, parity, recon12):
     from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
         dslash_parity_pallas5)
@@ -55,7 +67,8 @@ def test_v5_matches_xla(fields, parity, recon12):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("dagger", [False, True])
+@pytest.mark.parametrize("dagger", [
+    pytest.param(False, marks=pytest.mark.slow), True])
 def test_v5_twist_xpay_epilogues(fields, dagger):
     """Fused b(1 + i a γ5) twist + xpay epilogues match the unfused
     composition (the reference's fused tm_dslash kernels,
@@ -74,7 +87,8 @@ def test_v5_twist_xpay_epilogues(fields, dagger):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("dagger", [False, True])
+@pytest.mark.parametrize("dagger", [
+    pytest.param(False, marks=pytest.mark.slow), True])
 def test_fused_tm_matpc(fields, dagger):
     """The fully-fused twisted-mass matpc (Dirac._matpc_pallas_tm
     composition) matches the XLA matpc, composed here with
@@ -101,9 +115,12 @@ def test_fused_tm_matpc(fields, dagger):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("kind,mu", [("clover", 0.0),
-                                     ("twisted-clover", 0.05)])
-@pytest.mark.parametrize("dagger", [False, True])
+@pytest.mark.parametrize("kind,mu,dagger", [
+    ("clover", 0.0, True),
+    ("twisted-clover", 0.05, False),
+    pytest.param("clover", 0.0, False, marks=pytest.mark.slow),
+    pytest.param("twisted-clover", 0.05, True, marks=pytest.mark.slow),
+])
 def test_fused_clover_matpc(fields, kind, mu, dagger):
     """Fused (twisted-)clover matpc — the chiral 6×6 A⁻¹ runs in the
     kernel epilogue (reference tmc_dslash_def.h fusion) — matches the
@@ -153,7 +170,7 @@ def test_v2_bf16_close(fields):
 # smoke tier keeps one (kind, dagger) representative of each; the full
 # matrix runs in the slow tier (each interpret-mode case is ~3 min)
 @pytest.mark.parametrize("kind,mu,dagger", [
-    ("twisted-mass", 0.05, False),
+    pytest.param("twisted-mass", 0.05, False, marks=pytest.mark.slow),
     pytest.param("twisted-clover", 0.05, False, marks=pytest.mark.slow),
     pytest.param("twisted-mass", 0.05, True, marks=pytest.mark.slow),
     ("twisted-clover", 0.05, True),
@@ -300,11 +317,17 @@ def test_v5_overlap_matches_full(fields, epilogue, project):
 # single-kernel shmap form and the T_loc=2 degenerate fallback, and the
 # split form is also exercised single-shard (test_v5_overlap_matches_
 # full) and under shard_map by the driver dryrun (__graft_entry__).
-@pytest.mark.parametrize("kind", ["twisted-mass", "twisted-clover"])
-@pytest.mark.parametrize("overlap,grid", [
-    (False, (2, 1, 1)),
-    pytest.param(True, (2, 1, 1), marks=pytest.mark.slow),
-    (True, (4, 1, 1)),
+@pytest.mark.parametrize("kind,overlap,grid", [
+    ("twisted-mass", False, (2, 1, 1)),
+    ("twisted-clover", True, (4, 1, 1)),
+    pytest.param("twisted-clover", False, (2, 1, 1),
+                 marks=pytest.mark.slow),
+    pytest.param("twisted-mass", True, (4, 1, 1),
+                 marks=pytest.mark.slow),
+    pytest.param("twisted-mass", True, (2, 1, 1),
+                 marks=pytest.mark.slow),
+    pytest.param("twisted-clover", True, (2, 1, 1),
+                 marks=pytest.mark.slow),
 ])
 def test_fused_matpc_shmap(fields, kind, overlap, grid):
     """Multi-chip fused matpc (whole Schur chain inside one shard_map,
@@ -334,8 +357,10 @@ def test_fused_matpc_shmap(fields, kind, overlap, grid):
                                atol=1e-4)
 
 
-@pytest.mark.parametrize("kind,mu,csw", [("twisted-mass", 0.05, 0.0),
-                                         ("twisted-clover", 0.05, 1.0)])
+@pytest.mark.parametrize("kind,mu,csw", [
+    pytest.param("twisted-mass", 0.05, 0.0, marks=pytest.mark.slow),
+    ("twisted-clover", 0.05, 1.0),
+])
 def test_fused_matpc_dagm(fields, kind, mu, csw):
     """4-kernel fused matpc†·matpc (the dagger pre-apply emitted as the
     forward half's second output, post_op epilogue) == XLA

@@ -136,12 +136,59 @@ def test_run_loops_routes_compact(force_compact, monkeypatch):
         "CompactDirac production operator")
 
 
+def _stub_lanczos(monkeypatch, applies):
+    """Replace the thick-restart Lanczos with a one-matvec stub: the
+    routing tests assert WHICH operator the workflow built, not the
+    spectrum — the real Lanczos through interpret-mode kernels costs
+    ~10 min on CPU (measured r4) and belongs to the slow tier."""
+    from quda_qkxtm_multigrid_tpu.solvers import eigen as _eig
+
+    def fake_lanczos(matvec, example, nev, **kw):
+        v = jnp.ones_like(example)
+        v = v / jnp.sqrt(jnp.real(jnp.vdot(v, v)))
+        applies.append(matvec(v))          # drive the adapter ONCE
+        return _eig.EigResult(
+            evals=jnp.ones((nev,), jnp.float32),
+            evecs=jnp.stack([v] * nev),
+            resid=jnp.zeros((nev,), jnp.float32))
+
+    monkeypatch.setattr(_eig, "lanczos", fake_lanczos)
+
+
+def test_run_loops_wexact_routes_smoke(force_compact, monkeypatch):
+    """Smoke tier of the wexact routing guard: make_operator must
+    return CompactDirac above the (patched) HBM gate; the Lanczos is
+    stubbed to a single adapter matvec (see _stub_lanczos)."""
+    from quda_qkxtm_multigrid_tpu.compact import CompactDirac
+    seen, applies = [], []
+    _stub_lanczos(monkeypatch, applies)
+    real = wf.make_operator
+
+    def spy(u, params, geom, mesh=None):
+        d = real(u, params, geom, mesh=mesh)
+        if isinstance(d, CompactDirac):
+            import dataclasses as _dc
+            d = _dc.replace(d, interpret=True)
+        seen.append(type(d).__name__)
+        return d
+
+    monkeypatch.setattr(wf, "make_operator", spy)
+    u = _gauge_c64(25)
+    wf.run_loops_wexact(u, GEOM, kappa=0.115, mu=0.05, csw=0.0,
+                        nev=2, n_stoch=1, key=jax.random.PRNGKey(3),
+                        tol=1e-30, maxiter=1, lanczos_tol=1e-1)
+    assert seen == ["CompactDirac"], seen
+    assert applies, "stub lanczos never drove the operator adapter"
+
+
+@pytest.mark.slow
 def test_run_loops_wexact_routes_production_factory(force_compact,
                                                     monkeypatch):
     """run_loops_wexact builds via make_operator (CompactDirac above
     the gate; full-field protocol adapters carry the deflation chain)
     — wExact is a production driver (reference
-    interface_quda.cpp:7093)."""
+    interface_quda.cpp:7093).  Slow tier: the REAL thick-restart
+    Lanczos runs through the interpret-mode compact adapters."""
     from quda_qkxtm_multigrid_tpu.compact import CompactDirac
     seen = []
     real = wf.make_operator
@@ -165,7 +212,10 @@ def test_run_loops_wexact_routes_production_factory(force_compact,
 
 def test_run_loops_wexact_threads_mesh(monkeypatch):
     """wexact accepts mesh= and builds through the factory with it
-    (meshed state runs XLA auto-partitioned)."""
+    (meshed state runs XLA auto-partitioned).  Lanczos stubbed — the
+    mesh-threading assertion doesn't need a spectrum."""
+    applies = []
+    _stub_lanczos(monkeypatch, applies)
     seen = []
     real = wf.make_operator
 

@@ -56,6 +56,7 @@ class TestGMResDR:
         assert _relres(d.matpc, res_dr.x, b) < 1e-7
         assert int(res_dr.iters) <= int(res_plain.iters)
 
+    @pytest.mark.slow
     def test_full_operator(self):
         d = _dirac(5, kind="twisted-clover", kappa=0.115, mu=0.05,
                    csw=1.0)
@@ -77,6 +78,7 @@ class TestMinResExt:
         x0 = min_res_ext(d.matpc, b, hist)
         assert _relres(d.matpc, x0, b) < 1e-5
 
+    @pytest.mark.slow
     def test_chrono_accelerates_cg(self):
         """Chronological guess from 3 nearby solves cuts CG iterations
         for the 4th (the resident-chrono use, quda.h chrono params)."""

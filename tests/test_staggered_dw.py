@@ -166,6 +166,7 @@ class TestAsqtadLinks:
             c["naik"] * np.broadcast_to(
                 eye.reshape(1, 1, 3, 3, 1, 1, 1), got.shape), atol=1e-12)
 
+    @pytest.mark.slow
     def test_gauge_covariance(self):
         """fat(U^g)_mu(x) = g(x) fat(U)_mu(x) g^dag(x+mu), and the same
         for the Naik links with g^dag(x+3mu) — the defining structural
