@@ -69,7 +69,8 @@ def bench_cg(geom, tol: float = 1e-7, maxiter: int = 2000) -> dict:
 
 def bench_mg(geom, tol: float = 1e-7, nvec: int = 24,
              block=(4, 4, 4, 4), solver: str = "gcr",
-             vec_dtype: str = "f32") -> dict:
+             vec_dtype: str = "f32",
+             solve_operator: str = "canonical") -> dict:
     # tol 1e-7: the c64 true-residual floor on this backend is ~3e-8
     # (both the GCR and Richardson outers stall there; the reference
     # reaches deeper only through its double-precision outer)
@@ -83,23 +84,36 @@ def bench_mg(geom, tol: float = 1e-7, nvec: int = 24,
     on_tpu = jax.default_backend() == "tpu"
     d, b = _make(geom, use_pallas=on_tpu)
     p = MGParams(block=block, nvec=nvec, smoother_pc=True, n_level=2,
-                 vec_dtype=vec_dtype)
+                 vec_dtype=vec_dtype, solve_operator=solve_operator)
 
     t0 = time.perf_counter()
     mg = setup_mg(d, p, jax.random.PRNGKey(3))
     jax.block_until_ready(mg.coarse.x)
     setup_secs = time.perf_counter() - t0
 
+    if solve_operator == "compact":
+        # the compact tiers replace the canonical bundle for the whole
+        # solve — free it (4.2 GB at 32³×64) and REBUILD from u for the
+        # independent final certification (reference sloppy-resident
+        # gauge discipline, interface_quda.cpp:1039)
+        from quda_qkxtm_multigrid_tpu.dirac import make_dirac
+        u_keep, params_keep = d.u, d.params
+        d = None
+
     out, tel = mg_solve(mg, b, tol=tol, telemetry=True,
                         solver=solver)                   # cold
     t0 = time.perf_counter()
     out, tel = mg_solve(mg, b, tol=tol, telemetry=True,
                         solver=solver)                   # warm
+    if solve_operator == "compact":
+        jax.block_until_ready(out.x)     # drain solve arenas first
+        d = jax.jit(lambda u: make_dirac(u, params_keep, geom))(u_keep)
     _, rel = true_residual(d, out.x, b)
     rel = float(rel)
     return {**tel.as_dict(), "true_res": rel, "solver": f"mg-{solver}",
             "setup_secs": round(setup_secs, 2), "nvec": nvec,
-            "block": list(block), "vec_dtype": vec_dtype}
+            "block": list(block), "vec_dtype": vec_dtype,
+            "solve_operator": solve_operator}
 
 
 def bench_compact(geom, tol: float = 1e-7, maxiter: int = 2000,
@@ -345,9 +359,11 @@ def solve_benchmarks(geom) -> dict:
     # bf16 V storage above ~2M sites: the f32 planar V alone is 4.8 GB
     # at 32³×64 (the north-star OOM, see MGParams.vec_dtype)
     vd = "bf16" if geom.volume >= 2 * 1024**2 else "f32"
+    so = "compact" if geom.volume >= 2 * 1024**2 else "canonical"
     out = {}
     for name, fn in (("mg", lambda: bench_mg(geom, solver="gcr-pc",
-                                             vec_dtype=vd)),
+                                             vec_dtype=vd,
+                                             solve_operator=so)),
                      ("cg", lambda: bench_cg(geom))):
         try:
             out[name] = fn()

@@ -239,6 +239,13 @@ class CompactDirac:
         return self._from_ch(self.matpc_dagm_ch(self._to_ch(psi_p),
                                                 self.interpret))
 
+    def a_apply(self, psi_p, parity, dagger: bool = False):
+        """Full-field A_p adapter (canonical parity field) — needed by
+        the MG gcr-pc Schur embedding when the V-cycle runs on the
+        compact sloppy operator (multigrid._gcr_step_pc)."""
+        return self._from_ch(self._a_apply_ch(self._to_ch(psi_p), parity,
+                                              self.interpret, dagger))
+
     def prepare(self, b):
         return self._from_ch(self.prepare_ch(self._to_ch(b[0]),
                                              self._to_ch(b[1]),

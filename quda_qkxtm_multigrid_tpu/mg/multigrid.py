@@ -90,11 +90,22 @@ class MGParams:
     # halving its residency (4.8 → 2.4 GB at 32³×64) — it only shapes
     # the preconditioner, the outer GCR still certifies in f32/c64.
     vec_dtype: str = "f32"            # "f32" | "bf16"
+    # operator tier for the SOLVE-STEP programs (the V-cycle + GCR
+    # directions): "compact" swaps in a channel-storage CompactDirac —
+    # no canonical c64 operands in the step programs' arguments, no
+    # X64Split/clover-channel temps in their arenas (the reference's
+    # sloppy-precision inner solve, invertQuda precision_sloppy +
+    # inv_gcr_quda.cpp sloppy inner).  Outer residuals always certify
+    # on the CANONICAL operator (_pc_resid/_mr_resid), so restarts are
+    # defect-correction against full precision, exactly QUDA's
+    # reliable-update discipline.
+    solve_operator: str = "canonical"  # "canonical" | "compact"
 
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["transfer", "coarse", "dirac", "transfer2", "coarse2",
-                      "dirac_pr", "transfer3", "coarse3"],
+                      "dirac_pr", "transfer3", "coarse3",
+                      "dirac_sloppy"],
          meta_fields=["params"])
 @dataclasses.dataclass(frozen=True)
 class MGPreconditioner:
@@ -108,6 +119,8 @@ class MGPreconditioner:
     # (delta_*PR knobs); None = smooth with the outer operator
     transfer3: Optional[Any] = None   # CoarseTransfer (4-level runs,
     coarse3: Optional[CoarseOperator] = None   # quda_constants.h:44)
+    dirac_sloppy: Optional[Any] = None  # CompactDirac solve-step tier
+    # (MGParams.solve_operator="compact"); residuals stay canonical
 
     @property
     def _dirac_smooth(self):
@@ -369,9 +382,13 @@ def generate_null_vectors(dirac: Dirac, bg: BlockGeometry, key,
     if batch is None:
         # HBM-gated MRHS width: one msrc RHS costs ~4 GB of solver
         # state + vmap'd full-operator temps at 32³×64 (measured: batch
-        # 8 compiles to 36.5 GB there), so scale the batch with volume
+        # 8 compiles to 36.5 GB there), so scale the batch with volume.
+        # The 32³×64 (2.1M sites) tier must be batch=1: TWO RHS of
+        # solver state beside the planar-V accumulator (4.8 GB) and the
+        # Dirac bundle (6 GB) OOM'd generation on-chip (bisected r4,
+        # scripts/northstar_bisect.py)
         v = dirac.geom.volume
-        batch = 8 if v <= 600_000 else (2 if v <= 2_200_000 else 1)
+        batch = 8 if v <= 600_000 else (2 if v <= 1_100_000 else 1)
     if getattr(dirac, "_has_fused_matpc", False):
         from quda_qkxtm_multigrid_tpu.invert import invert_msrc
 
@@ -449,6 +466,11 @@ def setup_mg(dirac: Dirac, params: MGParams, key,
         v = _null_vectors_for(dirac, bg, key, params)
     else:
         v = _ortho_blocked(list(null_vectors), bg)
+    # completion barrier: the generation's solver arenas must drain
+    # BEFORE the coarse-build columns dispatch — overlapped, the two
+    # residencies OOM'd the 32³×64 build at its first accumulator
+    # alloc (bisected on-chip r4, scripts/northstar_bisect.py)
+    jax.block_until_ready(v)
     transfer = Transfer(v=v, bg=bg)
     d_coarse_src = _delta_scaled(dirac, params.delta_mu_coarse,
                                  params.delta_kappa_coarse,
@@ -466,12 +488,40 @@ def setup_mg(dirac: Dirac, params: MGParams, key,
     dirac_pr = _delta_scaled(dirac, params.delta_mu_pr,
                              params.delta_kappa_pr, params.delta_csw_pr)
     transfer = _vec_storage_cast(transfer, params)
-    return MGPreconditioner(transfer=transfer, coarse=coarse, dirac=dirac,
+    d_resid, d_step = _solve_tier_operators(dirac, params)
+    return MGPreconditioner(transfer=transfer, coarse=coarse,
+                            dirac=d_resid,
                             params=params, transfer2=transfer2,
                             coarse2=coarse2,
                             dirac_pr=None if dirac_pr is dirac
                             else dirac_pr,
-                            transfer3=transfer3, coarse3=coarse3)
+                            transfer3=transfer3, coarse3=coarse3,
+                            dirac_sloppy=d_step)
+
+
+def _solve_tier_operators(dirac, params: MGParams):
+    """(residual operator, step operator) for the solve
+    (MGParams.solve_operator).
+
+    "compact": BOTH tiers are channel-storage CompactDiracs — residuals
+    on f32 channels (== the c64 gauge to recon-12 reconstruction
+    rounding), V-cycle/GCR directions on the bf16 sloppy tier — and the
+    CANONICAL bundle (4.2 GB at 32³×64 plus 4 GB of per-program
+    X64Split/clover-channel temps) is NOT stored on the preconditioner
+    at all.  This is the reference's precision/precision_sloppy split
+    (invertQuda, interface_quda.cpp:1039): the caller keeps u (0.6 GB)
+    to rebuild a canonical operator for independent certification."""
+    if getattr(params, "solve_operator", "canonical") != "compact":
+        return dirac, None
+    if getattr(dirac, "u", None) is None or not hasattr(dirac, "params"):
+        return dirac, None
+    from quda_qkxtm_multigrid_tpu.compact import make_compact
+    interp = jax.default_backend() != "tpu"
+    d_resid = make_compact(dirac.u, dirac.params, dirac.geom, bf16=False,
+                           interpret=interp)
+    d_step = make_compact(dirac.u, dirac.params, dirac.geom, bf16=True,
+                          interpret=interp)
+    return d_resid, d_step
 
 
 def _vec_storage_cast(transfer: Transfer, params: MGParams) -> Transfer:
@@ -498,6 +548,7 @@ def setup_mg_pair(dirac_up: Dirac, dirac_dn: Dirac, params: MGParams,
     bx, by, bz, bt = params.block
     bg = BlockGeometry(dirac_up.geom, bx, by, bz, bt, params.nvec)
     v = _null_vectors_for(dirac_up, bg, key, params)
+    jax.block_until_ready(v)    # drain generation arenas (see setup_mg)
     transfer = Transfer(v=v, bg=bg)
     mgs = []
     for d in (dirac_up, dirac_dn):
@@ -756,6 +807,19 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
 
     if solver is None:
         solver = getattr(mg.params, "outer_solver", None) or "gcr"
+    if getattr(mg.dirac, "_has_fused_matpc", False) and mesh is None:
+        # the fused tier never reads the PLAIN gauge (every dslash uses
+        # u_doubled) — dropping it from the solve programs' argument
+        # pytree saves its full footprint per program on this backend
+        # (1.2 GB at 32³×64; same staging rule as _pc_resid)
+        mg = dataclasses.replace(
+            mg, dirac=dataclasses.replace(mg.dirac, u=None))
+    # sloppy solve-step tier (solve_operator="compact"): the V-cycle +
+    # GCR-direction programs run on channel-storage operands; every
+    # residual/prepare/reconstruct program below certifies on the
+    # CANONICAL mg.dirac (QUDA's sloppy-inner / true-outer split)
+    mg_step = mg if mg.dirac_sloppy is None or mesh is not None else \
+        dataclasses.replace(mg, dirac=mg.dirac_sloppy, dirac_sloppy=None)
     t0 = _time.perf_counter()
     if solver == "gcr-pc":
         src = _pc_prepare(mg.dirac, b)
@@ -769,7 +833,7 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
             if mesh is not None:
                 x_p = _gcr_step_pc_sharded(mg, x_p, r_p, n_krylov, mesh)
             else:
-                x_p = _gcr_step_pc(mg, x_p, r_p, n_krylov)
+                x_p = _gcr_step_pc(mg_step, x_p, r_p, n_krylov)
             iters += n_krylov
             r_p, r2 = _pc_resid(mg.dirac, x_p, src)
         x = _pc_reconstruct(mg.dirac, x_p, b)
@@ -798,7 +862,7 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
             if mesh is not None:
                 x = _mr_step_sharded(mg, x, r, mesh)
             else:
-                x = _mr_step(mg, x, r)
+                x = _mr_step(mg_step, x, r)
             iters += 1
             r, r2 = _mr_resid(mg.dirac, x, b)
     elif solver == "gcr":
@@ -808,7 +872,7 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
             if mesh is not None:
                 x = _gcr_step_sharded(mg, x, r, n_krylov, mesh)
             else:
-                x = _gcr_step(mg, x, r, n_krylov)
+                x = _gcr_step(mg_step, x, r, n_krylov)
             iters += n_krylov
             r, r2 = _mr_resid(mg.dirac, x, b)
     else:

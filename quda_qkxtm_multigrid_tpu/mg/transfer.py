@@ -113,17 +113,46 @@ def _chiral_split(blk):
 
 
 def to_blocked_flat(psi, bg: BlockGeometry):
-    """[2,4,3,T,Z,W] → [2(ch), Tc,Zc,Yc,Xc, bv*6]."""
-    blk = _chiral_split(to_blocked(psi, bg))   # [XC.., bv, ch, s, 3]
-    blk = jnp.moveaxis(blk, -3, 0)             # [ch, XC.., bv, s, 3]
-    return blk.reshape((2,) + blk.shape[1:5] + (bg.block_volume * 6,))
+    """[2,4,3,T,Z,W] → [2(ch), Tc,Zc,Yc,Xc, bv*6].
+
+    STAGED pad-free route (r4 on-chip compile report: the direct
+    transpose materialised the [.., bv, 4, 3]-minor intermediate at
+    32x tile padding — 3.0 GB for a 96 MB field inside the V-cycle):
+      1. dof-leading lex (every minor a site dim),
+      2. move (s, r) inboard while (Y, X) = (32, 32) is still the
+         minor pair — tile-exact copy,
+      3. aggregate transpose whose output merges the
+         (bt,bz,by,bx,s,r) = 1536 tail — tile-exact copy.
+    Every materialised array here has a (≥8, ≥128-multiple) minor
+    pair; XLA fuses each transpose+merge into one unpadded copy."""
+    from quda_qkxtm_multigrid_tpu.lattice import spinor_to_lex_dof_leading
+    g = bg.fine
+    xc, yc, zc, tc = bg.coarse_dims
+    lexd = spinor_to_lex_dof_leading(psi, g)        # [4,3,T,Z,Y,X]
+    s1 = lexd.reshape(2, 2, 3, g.T, g.Z, g.Y, g.X)  # free: 4→(ch,s)
+    s1 = s1.transpose(0, 3, 4, 1, 2, 5, 6)          # [ch,T,Z,s,r,Y,X]
+    s2 = s1.reshape(2, tc, bg.bt, zc, bg.bz, 2, 3,
+                    yc, bg.by, xc, bg.bx)           # free splits
+    s2 = s2.transpose(0, 1, 3, 7, 9, 2, 4, 8, 10, 5, 6)
+    #                 [ch,tc,zc,yc,xc,bt,bz,by,bx,s,r]
+    return s2.reshape(2, tc, zc, yc, xc, bg.block_volume * 6)
 
 
 def from_blocked_flat(flat, bg: BlockGeometry):
-    r = flat.reshape((2,) + flat.shape[1:5] + (bg.block_volume, 2, 3))
-    r = jnp.moveaxis(r, 0, -3)                 # [XC.., bv, ch, s, 3]
-    return from_blocked(r.reshape(r.shape[:4] + (bg.block_volume, 4, 3)),
-                        bg)
+    """[2(ch), Tc,Zc,Yc,Xc, bv*6] → [2,4,3,T,Z,W] — the staged pad-free
+    reverse of to_blocked_flat (same two tile-exact copies)."""
+    from quda_qkxtm_multigrid_tpu.lattice import (
+        spinor_from_lex_dof_leading)
+    g = bg.fine
+    xc, yc, zc, tc = bg.coarse_dims
+    s2 = flat.reshape(2, tc, zc, yc, xc, bg.bt, bg.bz, bg.by, bg.bx,
+                      2, 3)                          # free split
+    # → [ch, tc,bt, zc,bz, s, r, yc,by, xc,bx]
+    s2 = s2.transpose(0, 1, 5, 2, 6, 9, 10, 3, 7, 4, 8)
+    s1 = s2.reshape(2, g.T, g.Z, 2, 3, g.Y, g.X)     # free merges
+    s1 = s1.transpose(0, 3, 4, 1, 2, 5, 6)           # [ch,s,r,T,Z,Y,X]
+    lexd = s1.reshape(4, 3, g.T, g.Z, g.Y, g.X)      # free merge
+    return spinor_from_lex_dof_leading(lexd, g)
 
 
 def block_orthonormalize_flat(v_stacked):
@@ -313,15 +342,20 @@ class Transfer:
         exists to avoid.  bf16×bf16 contracts natively on the MXU;
         preferred_element_type keeps the accumulation/output f32."""
         if a.dtype == jnp.bfloat16:
+            out_dt = jnp.float32 if b.dtype == jnp.bfloat16 else b.dtype
             return jnp.einsum(spec, a, b.astype(jnp.bfloat16),
-                              preferred_element_type=b.dtype)
+                              preferred_element_type=out_dt)
         return heinsum(spec, a, b)
 
     def restrict(self, psi):
         """fine [2,4,3,T,Z,W] → coarse [2(ch), nvec, Tc,Zc,Yc,Xc]
         (reference Transfer::R, transfer.h:188).  Real-arithmetic
-        einsums on the planar V: S = conj(V)·f with
-        S_re = vr·fr + vi·fi, S_im = vr·fi − vi·fr."""
+        STORAGE-LAYOUT einsums on the planar V (bdof-minor contraction
+        on both operands — an interleaved-view formulation made XLA
+        re-lay the whole V nvec-minor, 2 × 12 GB at 32³×64, r4 on-chip
+        report); the field reaches flat form via the staged pad-free
+        converter.  S = conj(V)·f: S_re = vr·fr + vi·fi,
+        S_im = vr·fi − vi·fr."""
         vr, vi = self.v
         flat = to_blocked_flat(psi, self.bg)           # [ch, XC.., d]
         fr, fi = jnp.real(flat), jnp.imag(flat)
@@ -333,7 +367,8 @@ class Transfer:
 
     def prolong(self, vc):
         """coarse [2, nvec, Tc,Zc,Yc,Xc] → fine [2,4,3,T,Z,W]
-        (reference Transfer::P, transfer.h:181)."""
+        (reference Transfer::P, transfer.h:181); storage-layout einsums
+        + the staged pad-free reverse converter."""
         vr, vi = self.v
         wr, wi = jnp.real(vc), jnp.imag(vc)
         fr = self._ein("c...nd,cn...->c...d", vr, wr) \

@@ -83,7 +83,8 @@ def run_phase(phase: str) -> None:
         # production tier: bf16 null-vector storage (precision_null
         # HALF analogue) — the f32 V alone is 4.8 GB at this volume
         _append(phase, B.bench_mg(Geometry(32, 32, 32, 64),
-                                  solver="gcr-pc", vec_dtype="bf16"))
+                                  solver="gcr-pc", vec_dtype="bf16",
+                                  solve_operator="compact"))
     elif phase == "cg32":
         _append(phase, B.bench_cg(Geometry(32, 32, 32, 64)))
     elif phase == "mg24":
