@@ -322,6 +322,14 @@ def make_compact(u, params: DiracParams, geom: Geometry,
         except RuntimeError:
             host = False
     if host:
+        if list(u.devices())[0].platform != "cpu":
+            # complex d2h is unsupported on the axon backend — fetch
+            # planes via jit (backend_quirks) and recombine on host
+            import numpy as _np
+            ur, ui = jax.jit(lambda v: (jnp.real(v), jnp.imag(v)))(u)
+            uh = (_np.asarray(ur) + 1j * _np.asarray(ui)).astype(
+                _np.dtype(u.dtype))
+            u = jax.device_put(uh, cpu)
         with jax.default_device(cpu):
             g, ci, cl = jax.jit(build)(jax.device_put(u, cpu))
             jax.block_until_ready(g)

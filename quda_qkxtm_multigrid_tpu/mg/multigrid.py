@@ -517,10 +517,16 @@ def _solve_tier_operators(dirac, params: MGParams):
         return dirac, None
     from quda_qkxtm_multigrid_tpu.compact import make_compact
     interp = jax.default_backend() != "tpu"
+    # host-staged builds: an on-device make_compact replays the whole
+    # canonical construction (clover from F_munu + inversion, ~6 GB of
+    # program temps) beside the live V + coarse + canonical bundle —
+    # OOM'd at 32³×64 (bisected r4); the host build device_puts only
+    # the finished channel operands
+    host = not interp
     d_resid = make_compact(dirac.u, dirac.params, dirac.geom, bf16=False,
-                           interpret=interp)
+                           interpret=interp, host=host)
     d_step = make_compact(dirac.u, dirac.params, dirac.geom, bf16=True,
-                          interpret=interp)
+                          interpret=interp, host=host)
     return d_resid, d_step
 
 

@@ -347,35 +347,77 @@ class Transfer:
                               preferred_element_type=out_dt)
         return heinsum(spec, a, b)
 
+    @property
+    def _bg_slab(self):
+        """BlockGeometry of ONE tc slab (fine T = bt, coarse tc = 1)."""
+        bg = self.bg
+        g = bg.fine
+        from quda_qkxtm_multigrid_tpu.lattice import Geometry as _G
+        return BlockGeometry(_G(g.X, g.Y, g.Z, bg.bt), bg.bx, bg.by,
+                             bg.bz, bg.bt, bg.nvec)
+
     def restrict(self, psi):
         """fine [2,4,3,T,Z,W] → coarse [2(ch), nvec, Tc,Zc,Yc,Xc]
         (reference Transfer::R, transfer.h:188).  Real-arithmetic
         STORAGE-LAYOUT einsums on the planar V (bdof-minor contraction
         on both operands — an interleaved-view formulation made XLA
         re-lay the whole V nvec-minor, 2 × 12 GB at 32³×64, r4 on-chip
-        report); the field reaches flat form via the staged pad-free
-        converter.  S = conj(V)·f: S_re = vr·fr + vi·fi,
-        S_im = vr·fi − vi·fr."""
+        report), executed as a lax.map over tc SLABS: the
+        canonical→blocked layout conversion unavoidably materialises a
+        tile-padded transposed copy, so it runs per slab to bound the
+        arena at 1/Tc of the field (3.0 GB → ~0.2 GB per V-cycle at
+        32³×64, r4 on-chip compile report).
+        S = conj(V)·f: S_re = vr·fr + vi·fi, S_im = vr·fi − vi·fr."""
         vr, vi = self.v
-        flat = to_blocked_flat(psi, self.bg)           # [ch, XC.., d]
-        fr, fi = jnp.real(flat), jnp.imag(flat)
-        s_re = self._ein("c...nd,c...d->cn...", vr, fr) \
-            + self._ein("c...nd,c...d->cn...", vi, fi)
-        s_im = self._ein("c...nd,c...d->cn...", vr, fi) \
-            - self._ein("c...nd,c...d->cn...", vi, fr)
-        return jax.lax.complex(s_re, s_im)
+        bg = self.bg
+        bgs = self._bg_slab
+        tc = bg.coarse_shape[0]
+        # [2,4,3,T,Z,W] → [2,4,3, tc, bt, Z, W] (free view; slabs are
+        # dynamic tc-slices, never a moved-axis copy)
+        psi_r = psi.reshape(psi.shape[:3] + (tc, bg.bt) + psi.shape[4:])
+
+        def one(a):
+            # dynamic tc-slice of V in place (a moveaxis'd V copy would
+            # double its residency); the slab field slice likewise
+            ps = jax.lax.dynamic_index_in_dim(psi_r, a, 3, False)
+            vr_a = jax.lax.dynamic_index_in_dim(vr, a, 1, False)
+            vi_a = jax.lax.dynamic_index_in_dim(vi, a, 1, False)
+            flat = to_blocked_flat(ps, bgs)[:, 0]      # [ch, ZC.., d]
+            fr, fi = jnp.real(flat), jnp.imag(flat)
+            s_re = self._ein("c...nd,c...d->cn...", vr_a, fr) \
+                + self._ein("c...nd,c...d->cn...", vi_a, fi)
+            s_im = self._ein("c...nd,c...d->cn...", vr_a, fi) \
+                - self._ein("c...nd,c...d->cn...", vi_a, fr)
+            return jax.lax.complex(s_re, s_im)         # [ch, n, ZC..]
+
+        out = jax.lax.map(one, jnp.arange(tc))
+        return jnp.moveaxis(out, 0, 2)    # [ch, n, tc, Zc, Yc, Xc]
 
     def prolong(self, vc):
         """coarse [2, nvec, Tc,Zc,Yc,Xc] → fine [2,4,3,T,Z,W]
         (reference Transfer::P, transfer.h:181); storage-layout einsums
-        + the staged pad-free reverse converter."""
+        per tc slab (see restrict)."""
+        bg = self.bg
+        bgs = self._bg_slab
         vr, vi = self.v
-        wr, wi = jnp.real(vc), jnp.imag(vc)
-        fr = self._ein("c...nd,cn...->c...d", vr, wr) \
-            - self._ein("c...nd,cn...->c...d", vi, wi)
-        fi = self._ein("c...nd,cn...->c...d", vr, wi) \
-            + self._ein("c...nd,cn...->c...d", vi, wr)
-        return from_blocked_flat(jax.lax.complex(fr, fi), self.bg)
+
+        def one(a):
+            w = jax.lax.dynamic_index_in_dim(vc, a, 2, False)
+            vr_a = jax.lax.dynamic_index_in_dim(vr, a, 1, False)
+            vi_a = jax.lax.dynamic_index_in_dim(vi, a, 1, False)
+            wr, wi = jnp.real(w), jnp.imag(w)          # [ch, n, ZC..]
+            fr = self._ein("c...nd,cn...->c...d", vr_a, wr) \
+                - self._ein("c...nd,cn...->c...d", vi_a, wi)
+            fi = self._ein("c...nd,cn...->c...d", vr_a, wi) \
+                + self._ein("c...nd,cn...->c...d", vi_a, wr)
+            return from_blocked_flat(
+                jax.lax.complex(fr, fi)[:, None], bgs)  # [2,4,3,bt,Z,W]
+
+        tc = bg.coarse_shape[0]
+        out = jax.lax.map(one, jnp.arange(tc))
+        # [tc, 2,4,3, bt, Z, W] → [2,4,3,T,Z,W]
+        out = jnp.moveaxis(out, 0, 3)
+        return out.reshape(out.shape[:3] + (-1,) + out.shape[5:])
 
     def flops(self) -> int:
         """8 * nvec * fine-dof per site (reference transfer.cpp R flops)."""
