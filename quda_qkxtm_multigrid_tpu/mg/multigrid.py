@@ -487,7 +487,14 @@ def setup_mg(dirac: Dirac, params: MGParams, key,
             tol=params.setup3_tol, maxiter=params.setup3_maxiter)
     dirac_pr = _delta_scaled(dirac, params.delta_mu_pr,
                              params.delta_kappa_pr, params.delta_csw_pr)
+    # phase barriers: the coarse-build columns, the V downcast, and the
+    # solve-tier operand uploads must not pile up in flight — their
+    # overlapped residencies (f32 V + bf16 V + build temps + 4.7 GB of
+    # compact operands) OOM'd at 32³×64 (deferred, surfaced at the
+    # post-setup fetch; bisected r4)
+    jax.block_until_ready((coarse.x, coarse.y))
     transfer = _vec_storage_cast(transfer, params)
+    jax.block_until_ready(transfer.v)
     d_resid, d_step = _solve_tier_operators(dirac, params)
     return MGPreconditioner(transfer=transfer, coarse=coarse,
                             dirac=d_resid,
@@ -537,9 +544,17 @@ def _vec_storage_cast(transfer: Transfer, params: MGParams) -> Transfer:
     Donated so the f32 planes are freed, not doubled."""
     if getattr(params, "vec_dtype", "f32") != "bf16":
         return transfer
-    cast = jax.jit(lambda a: a.astype(jnp.bfloat16), donate_argnums=0)
+    # donation cannot cross dtypes (f32 → bf16 halves the buffer), so
+    # the f32 planes are freed EXPLICITLY once the casts complete —
+    # left to GC they lingered beside the bf16 planes + the solve-tier
+    # operand uploads and OOM'd setup at 32³×64 (bisected r4)
+    cast = jax.jit(lambda a: a.astype(jnp.bfloat16))
     vr, vi = transfer.v
-    return dataclasses.replace(transfer, v=(cast(vr), cast(vi)))
+    out = (cast(vr), cast(vi))
+    jax.block_until_ready(out)
+    vr.delete()
+    vi.delete()
+    return dataclasses.replace(transfer, v=out)
 
 
 def setup_mg_pair(dirac_up: Dirac, dirac_dn: Dirac, params: MGParams,

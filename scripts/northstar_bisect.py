@@ -62,6 +62,11 @@ fetch("setup.v", mg.transfer.v)
 fetch("setup.coarse", (mg.coarse.x, mg.coarse.y))
 stamp(f"setup done in {time.time() - t0:.1f}s "
       f"(V dtype {mg.transfer.v[0].dtype})")
+if mg.dirac_sloppy is not None:
+    # compact mode: the canonical bundle must not stay resident during
+    # the solve stages (bench_mg drops it the same way)
+    d = None
+    stamp("canonical dirac dropped (compact tiers resident)")
 
 if on("prep") or on("resid") or on("step") or on("solve"):
     src = _pc_prepare(mg.dirac, b)
