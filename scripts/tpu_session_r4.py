@@ -39,6 +39,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESULTS = os.path.join(REPO, "BENCH_SESSION.jsonl")
 
+# The package is run from the repo tree (not pip-installed); a child
+# invoked as `python scripts/tpu_session_r4.py --phase X` gets scripts/
+# on sys.path, not the repo root — make the import environment-proof.
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
 # (name, timeout_s, retries)
 PHASES = [
     ("probe16", 1200, 2),
