@@ -370,3 +370,264 @@ def solve_benchmarks(geom) -> dict:
         except Exception as e:  # noqa: BLE001 — diagnostic record
             out[name] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
     return out
+
+
+# ---------------------------------------------------------------------
+# Round-5 phases (VERDICT r4 next #1/#4/#5/#6/#7): north-star volumes,
+# the light-quark MG payoff, the production-depth chain, the setup
+# amortiser, and the host-DC certified 48^3x96 records.
+# ---------------------------------------------------------------------
+
+
+def bench_light(geom, mu: float = 0.003, tol: float = 1e-7,
+                probe_geom=None, kappas=(0.125, 0.15, 0.18, 0.21),
+                probe_iters_target: int = 350,
+                cg_maxiter: int = 6000) -> dict:
+    """The MG raison-d'etre record (VERDICT r4 missing #3): at light
+    quark mass (kappa near critical, small twisted mu as the IR
+    regulator) CG iterations explode ~1/mu while MG-GCR convergence is
+    mass-independent (reference lib/multigrid.cpp setup rationale; the
+    QKXTM delta-mu knobs exist to tune exactly this regime,
+    tests/multigrid_invert_test.cpp:200-203).
+
+    On a RANDOM gauge the critical kappa is shifted by the (large)
+    additive mass renormalisation, so kappa_c is LOCATED EMPIRICALLY:
+    short CG probes at ``probe_geom`` walk the kappa ladder until the
+    iteration count crosses ``probe_iters_target``.  The chosen kappa
+    then gets, at the TARGET geometry, (a) a fused-CG solve and (b) an
+    MG-GCR-PC setup+solve (+ a second warm solve for the amortised
+    story) on the SAME operator.  Returns every number the comparison
+    needs; 'mg_beats_cg' is computed on warm solve wall-clock."""
+    from quda_qkxtm_multigrid_tpu.dirac import DiracParams, make_dirac
+    from quda_qkxtm_multigrid_tpu.invert import invert, true_residual
+    from quda_qkxtm_multigrid_tpu.lattice import Geometry
+    from quda_qkxtm_multigrid_tpu.mg.multigrid import (
+        MGParams, setup_mg, mg_solve)
+    from quda_qkxtm_multigrid_tpu.utils import rng
+    from quda_qkxtm_multigrid_tpu import fields
+
+    on_tpu = jax.default_backend() == "tpu"
+    pg = probe_geom if probe_geom is not None else Geometry(16, 16, 16, 32)
+
+    def make(kappa, g):
+        p = DiracParams(kind="twisted-clover", kappa=kappa, mu=mu,
+                        csw=1.0, use_pallas=on_tpu)
+        k1, _ = jax.random.split(jax.random.PRNGKey(7))
+        u = jax.jit(lambda k: rng.random_gauge(
+            k, g, dtype=jnp.complex64))(k1)
+        d = jax.jit(lambda u: make_dirac(u, p, g))(u)
+        b = jax.jit(lambda: fields.point_source(g, (0, 0, 0, 0), 0, 0,
+                                                dtype=jnp.complex64))()
+        return d, b
+
+    ladder = []
+    kappa_l = kappas[0]
+    for kappa in kappas:
+        d, b = make(kappa, pg)
+        out = jax.jit(lambda d, b: invert(d, b, tol=tol,
+                                          maxiter=2000))(d, b)
+        it = int(out.iters)
+        ladder.append({"kappa": kappa, "iters": it,
+                       "true_res": float(out.true_res)})
+        kappa_l = kappa
+        if it >= probe_iters_target or it >= 2000:
+            break
+
+    d, b = make(kappa_l, geom)
+    solve = jax.jit(lambda d, b: invert(d, b, tol=tol,
+                                        maxiter=cg_maxiter))
+    out = solve(d, b)                              # cold (compiles)
+    float(out.true_res)
+    t0 = time.perf_counter()
+    out = solve(d, b)
+    cg_secs = time.perf_counter() - t0
+    cg_iters, cg_res = int(out.iters), float(out.true_res)
+
+    p = MGParams(block=(4, 4, 4, 4), nvec=24, smoother_pc=True,
+                 outer_solver="gcr-pc")
+    t0 = time.perf_counter()
+    mg = setup_mg(d, p, jax.random.PRNGKey(3))
+    jax.block_until_ready(mg.coarse.x)
+    setup_secs = time.perf_counter() - t0
+    o, tel = mg_solve(mg, b, tol=tol, telemetry=True, solver="gcr-pc")
+    t0 = time.perf_counter()
+    o, tel = mg_solve(mg, b, tol=tol, telemetry=True, solver="gcr-pc")
+    mg_secs = time.perf_counter() - t0
+    _, rel = true_residual(d, o.x, b)
+    return {"geom": list(geom.dims), "kappa": kappa_l, "mu": mu,
+            "probe_ladder": ladder,
+            "cg_secs": round(cg_secs, 3), "cg_iters": cg_iters,
+            "cg_true_res": cg_res,
+            "mg_setup_secs": round(setup_secs, 1),
+            "mg_secs": round(mg_secs, 3), "mg_iters": int(o.iters),
+            "mg_true_res": float(rel),
+            "mg_beats_cg": bool(mg_secs < cg_secs),
+            "amortise_solves": (round(setup_secs / max(cg_secs - mg_secs,
+                                                       1e-9), 1)
+                                if mg_secs < cg_secs else None),
+            "solver": "cg-fused vs mg-gcr-pc (light mass)"}
+
+
+def bench_df64_mg(geom, tol: float = 1e-10, inner_tol: float = 1e-7,
+                  nvec: int = 24) -> dict:
+    """The production chain at reference depth (VERDICT r4 missing #4):
+    MG-GCR-PC inner + df64 defect-correction outer certifying 1e-10
+    true residual — the TPU form of the reference's double-outer +
+    MG-preconditioned-GCR production solve (interface_quda.cpp:2257
+    newMultigridQuda + the precision ladder; dbldbl.h)."""
+    from quda_qkxtm_multigrid_tpu.mg.multigrid import MGParams, setup_mg
+    from quda_qkxtm_multigrid_tpu.solvers.df64_refine import invert_df64
+
+    d, b = _make(geom, use_pallas=jax.default_backend() == "tpu")
+    p = MGParams(block=(4, 4, 4, 4), nvec=nvec, smoother_pc=True,
+                 outer_solver="gcr-pc")
+    t0 = time.perf_counter()
+    mg = setup_mg(d, p, jax.random.PRNGKey(3))
+    jax.block_until_ready(mg.coarse.x)
+    setup_secs = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = invert_df64(d, b, tol=tol, inner_tol=inner_tol, mg=mg)
+    secs = time.perf_counter() - t0
+    return {"geom": list(geom.dims), "setup_secs": round(setup_secs, 1),
+            "secs": round(secs, 2), "true_res": out.true_res,
+            "restarts": out.restarts, "inner_iters": out.inner_iters,
+            "nvec": nvec, "solver": "mg-gcr-pc + df64 outer"}
+
+
+def bench_mg_vecs(geom, nvec: int = 24,
+                  path: str = "/tmp/qkxtm_mg_vecs.npz") -> dict:
+    """The null-vector amortiser (VERDICT r4 next #6): setup once with
+    vec_outfile, re-setup with vec_infile, record both setup times —
+    the reference's MG::saveVectors / loadVectors story
+    (quda.h:389-393, lib/multigrid.cpp)."""
+    import os as _os
+    from quda_qkxtm_multigrid_tpu.invert import true_residual
+    from quda_qkxtm_multigrid_tpu.mg.multigrid import (
+        MGParams, setup_mg, mg_solve)
+
+    d, b = _make(geom, use_pallas=jax.default_backend() == "tpu")
+    if _os.path.exists(path):
+        _os.remove(path)
+    p_out = MGParams(block=(4, 4, 4, 4), nvec=nvec, smoother_pc=True,
+                     vec_outfile=path)
+    t0 = time.perf_counter()
+    mg = setup_mg(d, p_out, jax.random.PRNGKey(3))
+    jax.block_until_ready(mg.coarse.x)
+    t_gen = time.perf_counter() - t0
+    for a in jax.tree_util.tree_leaves((mg.transfer.v, mg.coarse)):
+        a.delete()
+
+    p_in = MGParams(block=(4, 4, 4, 4), nvec=nvec, smoother_pc=True,
+                    vec_infile=path)
+    t0 = time.perf_counter()
+    mg2 = setup_mg(d, p_in, jax.random.PRNGKey(5))
+    jax.block_until_ready(mg2.coarse.x)
+    t_load = time.perf_counter() - t0
+
+    o = mg_solve(mg2, b, tol=1e-7, solver="gcr-pc")
+    _, rel = true_residual(d, o.x, b)
+    size_mb = round(_os.path.getsize(path) / 2**20, 1) \
+        if _os.path.exists(path) else None
+    return {"geom": list(geom.dims), "nvec": nvec,
+            "setup_secs_generate": round(t_gen, 1),
+            "setup_secs_load": round(t_load, 1),
+            "speedup": round(t_gen / t_load, 1),
+            "vec_file_mb": size_mb,
+            "iters": int(o.iters), "true_res": float(rel),
+            "solver": "mg-gcr-pc (vec_outfile/vec_infile)"}
+
+
+def _host_gauge_source(geom, dtype=jnp.complex64):
+    """Gauge + point source built on the host CPU backend (the 48³×96
+    tier: device construction would stage multi-GB c64 intermediates)."""
+    import numpy as _np
+    from quda_qkxtm_multigrid_tpu.utils import rng
+    from quda_qkxtm_multigrid_tpu import fields
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        u = jax.jit(lambda k: rng.random_gauge(
+            k, geom, dtype=dtype))(jax.random.PRNGKey(7))
+        b = jax.jit(lambda: fields.point_source(
+            geom, (0, 0, 0, 0), 0, 0, dtype=dtype))()
+        jax.block_until_ready((u, b))
+    return _np.asarray(u), _np.asarray(b).astype(_np.complex128)
+
+
+def bench_cg48_hostdc(geom, inner_tol: float = 1e-6,
+                      tol: float = 1e-9) -> dict:
+    """48³×96 CG certified at CANONICAL f64 depth (VERDICT r4 weak #5:
+    the only previous record at this volume carried a 2e-3 residual):
+    bf16 compact inner CG on-chip + host-c128 defect-correction outer
+    (solvers/host_dc.py) — single-chip, true residual from the f64
+    canonical operator."""
+    from quda_qkxtm_multigrid_tpu.compact import make_compact
+    from quda_qkxtm_multigrid_tpu.solvers.host_dc import (
+        make_host_residual, invert_host_dc, device_inner_compact)
+
+    params = _tmc_params(use_pallas=True, bf16=True)
+    u_np, b_np = _host_gauge_source(geom)
+    cpu = jax.devices("cpu")[0]
+    t0 = time.time()
+    cd = make_compact(jax.device_put(u_np, cpu), params, geom,
+                      bf16=True, host=True)
+    jax.block_until_ready(cd.g_ch)
+    build_secs = time.time() - t0
+    t0 = time.time()
+    resid = make_host_residual(u_np, params, geom)
+    resid_build_secs = time.time() - t0
+    out = invert_host_dc(resid, device_inner_compact(
+        cd, tol=inner_tol, maxiter=600), b_np, tol=tol)
+    flops = 2 * cd.flops_per_mat() * out.inner_iters
+    return {"geom": list(geom.dims), "true_res": out.true_res,
+            "restarts": out.restarts, "inner_iters": out.inner_iters,
+            "secs": out.inner_secs, "resid_secs": out.resid_secs,
+            "build_secs": round(build_secs, 1),
+            "host_resid_build_secs": round(resid_build_secs, 1),
+            "gflops": round(flops / max(out.inner_secs, 1e-9) / 1e9, 1),
+            "history": list(out.history),
+            "solver": "cg-compact-bf16 + host-c128 outer"}
+
+
+def bench_mg48_hostdc(geom, nvec: int = 4, n_krylov: int = 3,
+                      inner_tol: float = 5e-3, tol: float = 1e-8,
+                      setup_tol: float = 1e-3,
+                      setup_maxiter: int = 60) -> dict:
+    """The BASELINE.md 48³×96 MG-GCR target on ONE chip (VERDICT r4
+    missing #2): HBM-gated setup (mg/hbm_setup.py — device-tier null
+    vectors, host CholQR², host canonical coarse build) + compact-tier
+    MG-GCR-PC inner + host-c128 certified outer.
+
+    nvec is HBM-constrained on a single 16 GB chip (the bf16 planar V
+    alone is ~1 GB/vector at this volume); the reference runs this
+    volume on >= 4 V100s where nvec=24 fits per-GPU — the record
+    carries the constraint explicitly."""
+    from quda_qkxtm_multigrid_tpu.mg.multigrid import MGParams
+    from quda_qkxtm_multigrid_tpu.mg.hbm_setup import setup_mg_hbm
+    from quda_qkxtm_multigrid_tpu.solvers.host_dc import (
+        make_host_residual, invert_host_dc, device_inner_mg)
+
+    params = _tmc_params(use_pallas=True, bf16=True)
+    u_np, b_np = _host_gauge_source(geom)
+    mgp = MGParams(block=(4, 4, 4, 4), nvec=nvec, setup_tol=setup_tol,
+                   setup_maxiter=setup_maxiter, smoother_pc=True,
+                   nu_post=2, vec_dtype="bf16")
+    t0 = time.time()
+    mg, cd, timings = setup_mg_hbm(u_np, params, geom, mgp,
+                                   jax.random.PRNGKey(3), verbose=True)
+    setup_secs = time.time() - t0
+    resid = make_host_residual(u_np, params, geom)
+    t0 = time.time()
+    out = invert_host_dc(
+        resid, device_inner_mg(mg, tol=inner_tol, max_restarts=4,
+                               n_krylov=n_krylov),
+        b_np, tol=tol, max_restarts=12)
+    total_secs = time.time() - t0
+    return {"geom": list(geom.dims), "nvec": nvec,
+            "n_krylov": n_krylov, "vec_dtype": "bf16",
+            "setup_secs": round(setup_secs, 1), **timings,
+            "true_res": out.true_res, "restarts": out.restarts,
+            "inner_iters": out.inner_iters,
+            "secs": out.inner_secs, "resid_secs": out.resid_secs,
+            "total_secs": round(total_secs, 1),
+            "history": list(out.history),
+            "solver": "mg-gcr-pc-compact-bf16 + host-c128 outer"}

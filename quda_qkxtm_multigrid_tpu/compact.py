@@ -261,13 +261,22 @@ class CompactDirac:
 
 def make_compact(u, params: DiracParams, geom: Geometry,
                  bf16: bool = True, host: bool = False,
-                 interpret: bool = False) -> CompactDirac:
+                 interpret: bool = False,
+                 cinv_bf16: bool = False) -> CompactDirac:
     """Build the channel bundle from a gauge field.
 
     host=True stages the c64 construction (clover from Fμν, gauge
     doubling, channel packing) on the CPU backend — required at volumes
     where the intermediate c64 fields exceed device HBM (48³×96) — and
-    device_puts only the compact operands."""
+    device_puts only the compact operands.
+
+    cinv_bf16=True additionally stores the clover-INVERSE channels in
+    bf16 (~1.5 GB saved at 48³×96).  This deliberately trades the
+    A/A⁻¹ consistency floor (f32-kept inverse certifies ~1e-7; a
+    bf16-rounded inverse floors the PC chain at ~4e-3) for residency —
+    use ONLY under an outer that re-certifies at full precision
+    (solvers/host_dc.py), where the floor costs restarts, not
+    accuracy."""
     from quda_qkxtm_multigrid_tpu.dirac import make_dirac
     from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
         gauge_channels, clover_channels)
@@ -308,7 +317,7 @@ def make_compact(u, params: DiracParams, geom: Geometry,
                     cinv = _cl.invert_clover(clov)
             # cinv stays f32-channel even in the bf16 tier (the kernel
             # astype is a no-op on f32 refs); cl is exactly bf16-valued
-            ci = tuple(clover_channels(cinv, p_, False)
+            ci = tuple(clover_channels(cinv, p_, cinv_bf16)
                        for p_ in (0, 1))
             cl = tuple(clover_channels(clov, p_, bf16)
                        for p_ in (0, 1))
@@ -449,6 +458,7 @@ def invert_compact_full(cd: CompactDirac, b, tol: float = 1e-7,
     interface_quda.cpp:1039/2276)."""
     from quda_qkxtm_multigrid_tpu.invert import InvertResult
 
+    interpret = interpret or cd.interpret
     b_e, b_o = _b_to_channels(b)
     (x_e, x_o), iters, _ = invert_compact(cd, b_e, b_o, tol=tol,
                                           maxiter=maxiter,

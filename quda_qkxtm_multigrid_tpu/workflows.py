@@ -103,14 +103,22 @@ def _solve_columns_msrc(dirac, u_ape, geom, coords, alpha, nsmear, tol,
 
 
 def forward_prop(dirac, u_ape, geom, coords, alpha=4.0, nsmear=50,
-                 tol=1e-8, maxiter=1000, verbose=False, solve_fn=None):
+                 tol=1e-8, maxiter=1000, verbose=False, solve_fn=None,
+                 columns=None):
     """12 smeared-source solves → canonical propagator
     [2,4,4,3,3,T,Z,W] (the per-column loop of interface_quda.cpp:6342).
 
     solve_fn: optional b → (x, true_res) override (e.g. mg_solve_fn);
     default is the even-odd preconditioned CG of invert() — batched
-    into one multi-RHS solve on the fused Pallas path."""
-    if solve_fn is None and getattr(dirac, "_has_fused_matpc", False):
+    into one multi-RHS solve on the fused Pallas path.
+
+    columns: optional budget knob — solve only the first N source
+    columns and zero-fill the rest of the propagator.  For
+    compile/execute smoke paths (the multi-chip dryrun) where the full
+    12-column loop is pure repetition; the analogue of the reference
+    test executables' work-limiting flags (tests/test_util.cpp)."""
+    if columns is None and solve_fn is None \
+            and getattr(dirac, "_has_fused_matpc", False):
         xs, res = _solve_columns_msrc(dirac, u_ape, geom,
                                       jnp.asarray(coords, jnp.int32),
                                       alpha, nsmear, tol, maxiter)
@@ -120,6 +128,9 @@ def forward_prop(dirac, u_ape, geom, coords, alpha=4.0, nsmear=50,
     cols = []
     for spin in range(4):
         for color in range(3):
+            if columns is not None and len(cols) >= columns:
+                cols.append(jnp.zeros_like(cols[0]))
+                continue
             if solve_fn is None:
                 x, res = _solve_column(dirac, u_ape, geom, coords, spin,
                                        color, alpha, nsmear, tol, maxiter)
@@ -205,7 +216,7 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
              gauss_alpha: float = 4.0, gauss_n: int = 50,
              tol: float = 1e-8, maxiter: int = 1000, verbose=False,
              mg_params=None, mg_key=None, mesh=None,
-             corr_space: str = "momentum"):
+             corr_space: str = "momentum", columns=None):
     """Point-source 2pt workflow: both twist flavors, mesons + baryons,
     momentum-projected.  Returns dict with correlators and the momentum
     list.
@@ -262,7 +273,7 @@ def run_twop(u, geom: Geometry, kappa: float, mu: float, csw: float,
     for name, flavor in (("up", +1), ("dn", -1)):
         p = forward_prop(diracs[name], u_ape, geom, src_arr, gauss_alpha,
                          gauss_n, tol, maxiter, verbose,
-                         solve_fn=solve_fns[name])
+                         solve_fn=solve_fns[name], columns=columns)
         props[name] = jax.jit(rotate_to_physical,
                               static_argnames=("sign",))(p, sign=flavor)
     moms = con.momentum_list(q_sq_max)

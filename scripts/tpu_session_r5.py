@@ -1,0 +1,159 @@
+"""Round-5 on-chip measurement session.
+
+Same hardened capture shape as round 4 (per-phase subprocesses,
+immediate JSONL appends with machine provenance, retries gated on a
+backend probe) with two upgrades:
+
+  * the aliveness probe runs a COMPUTE + FETCH, not just a backend
+    query — the axon tunnel has a half-alive mode where
+    jax.default_backend() answers 'tpu' instantly while every program
+    fails FAILED_PRECONDITION (observed r5), which burned r4 retries;
+  * round-5 phases: the north star (32³×64 MG-GCR-PC), the certified
+    48³×96 records (host-DC outer, VERDICT r4 missing #1/#2), the
+    light-mass MG payoff (#3), the production-depth df64+MG chain
+    (#4), and the null-vector amortiser (#6).
+
+Run:   python scripts/tpu_session_r5.py [phase ...] [--force]
+Child: python scripts/tpu_session_r5.py --phase NAME   (internal)
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS = os.path.join(REPO, "BENCH_SESSION.jsonl")
+
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# (name, timeout_s, retries)
+PHASES = [
+    ("northstar", 4800, 2),
+    ("cg48", 7200, 1),
+    ("mg48", 10800, 1),
+    ("light", 6000, 1),
+    ("df64_mg", 4800, 1),
+    ("mg24_vecs", 4800, 1),
+]
+
+
+def _append(phase: str, record: dict) -> None:
+    import jax
+    rec = {
+        "phase": phase,
+        "record": record,
+        "provenance": {
+            "pid": os.getpid(),
+            "unix_time": round(time.time(), 1),
+            "writer": f"tpu_session_r5:{phase}",
+            "jax": jax.__version__,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(f"RESULT[{phase}]:", json.dumps(rec), flush=True)
+
+
+def run_phase(phase: str) -> None:
+    from quda_qkxtm_multigrid_tpu import enable_compile_cache
+    enable_compile_cache(min_secs=1.0)
+    from quda_qkxtm_multigrid_tpu import benchmarks as B
+    from quda_qkxtm_multigrid_tpu.lattice import Geometry
+
+    g24 = Geometry(24, 24, 24, 48)
+    if phase == "northstar":
+        # production tier: bf16 null-vector storage + compact solve
+        # tiers (the r4 OOM-fix configuration, commits 4a1005f..5fdcaa9)
+        _append(phase, B.bench_mg(Geometry(32, 32, 32, 64),
+                                  solver="gcr-pc", vec_dtype="bf16",
+                                  solve_operator="compact"))
+    elif phase == "cg48":
+        _append(phase, B.bench_cg48_hostdc(Geometry(48, 48, 48, 96)))
+    elif phase == "mg48":
+        _append(phase, B.bench_mg48_hostdc(Geometry(48, 48, 48, 96)))
+    elif phase == "light":
+        _append(phase, B.bench_light(g24))
+    elif phase == "df64_mg":
+        _append(phase, B.bench_df64_mg(g24))
+    elif phase == "mg24_vecs":
+        _append(phase, B.bench_mg_vecs(g24))
+    else:
+        raise SystemExit(f"unknown phase {phase!r}")
+
+
+def _backend_alive(timeout_s: int = 240) -> bool:
+    """True only if a jitted program COMPLETES and its result FETCHES
+    on the TPU — the half-alive tunnel answers backend queries while
+    failing every program (FAILED_PRECONDITION) or hanging at fetch."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp\n"
+             "y = jax.jit(lambda x: (x @ x).sum())(jnp.ones((128, 128)))\n"
+             "print('ALIVE' if float(y) == 2097152.0 else 'BAD')"],
+            capture_output=True, text=True, timeout=timeout_s)
+        out = r.stdout.strip().splitlines()
+        return bool(out) and out[-1] == "ALIVE"
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _phase_done(phase: str) -> bool:
+    if not os.path.exists(RESULTS):
+        return False
+    seen = set()
+    with open(RESULTS) as f:
+        for line in f:
+            try:
+                seen.add(json.loads(line)["phase"])
+            except (ValueError, KeyError):
+                pass
+    return phase in seen
+
+
+def main() -> None:
+    sel = set(a for a in sys.argv[1:] if not a.startswith("-"))
+    for name, timeout_s, retries in PHASES:
+        if sel and name not in sel:
+            continue
+        if _phase_done(name) and "--force" not in sys.argv:
+            print(f"[{name}] already recorded, skipping", flush=True)
+            continue
+        for attempt in range(retries + 1):
+            print(f"\n===== {name} attempt {attempt + 1} "
+                  f"[{time.strftime('%H:%M:%S')}] =====", flush=True)
+            if not _backend_alive():
+                print(f"[{name}] TPU compute probe failed; waiting 300s",
+                      flush=True)
+                time.sleep(300)
+                if not _backend_alive():
+                    print(f"[{name}] still dead, moving on", flush=True)
+                    break
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--phase", name],
+                    timeout=timeout_s, cwd=REPO)
+                if r.returncode == 0 and _phase_done(name):
+                    break
+                print(f"[{name}] rc={r.returncode}, "
+                      f"recorded={_phase_done(name)}", flush=True)
+            except subprocess.TimeoutExpired:
+                print(f"[{name}] TIMEOUT after {timeout_s}s", flush=True)
+            if attempt < retries:
+                backoff = 120 * (attempt + 1)
+                print(f"[{name}] retrying in {backoff}s", flush=True)
+                time.sleep(backoff)
+    print("\nsession r5: DONE", flush=True)
+
+
+if __name__ == "__main__":
+    if "--phase" in sys.argv:
+        run_phase(sys.argv[sys.argv.index("--phase") + 1])
+    else:
+        main()
