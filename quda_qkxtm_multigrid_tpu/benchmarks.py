@@ -70,7 +70,9 @@ def bench_cg(geom, tol: float = 1e-7, maxiter: int = 2000) -> dict:
 def bench_mg(geom, tol: float = 1e-7, nvec: int = 24,
              block=(4, 4, 4, 4), solver: str = "gcr",
              vec_dtype: str = "f32",
-             solve_operator: str = "canonical") -> dict:
+             solve_operator: str = "canonical",
+             n_krylov: int = 10, step_cinv_bf16: bool = False,
+             resid_drop_clover: bool = False) -> dict:
     # tol 1e-7: the c64 true-residual floor on this backend is ~3e-8
     # (both the GCR and Richardson outers stall there; the reference
     # reaches deeper only through its double-precision outer)
@@ -84,7 +86,9 @@ def bench_mg(geom, tol: float = 1e-7, nvec: int = 24,
     on_tpu = jax.default_backend() == "tpu"
     d, b = _make(geom, use_pallas=on_tpu)
     p = MGParams(block=block, nvec=nvec, smoother_pc=True, n_level=2,
-                 vec_dtype=vec_dtype, solve_operator=solve_operator)
+                 vec_dtype=vec_dtype, solve_operator=solve_operator,
+                 step_cinv_bf16=step_cinv_bf16,
+                 resid_drop_clover=resid_drop_clover)
 
     t0 = time.perf_counter()
     mg = setup_mg(d, p, jax.random.PRNGKey(3))
@@ -100,11 +104,12 @@ def bench_mg(geom, tol: float = 1e-7, nvec: int = 24,
         u_keep, params_keep = d.u, d.params
         d = None
 
-    out, tel = mg_solve(mg, b, tol=tol, telemetry=True,
-                        solver=solver)                   # cold
+    fr = not resid_drop_clover
+    out, tel = mg_solve(mg, b, tol=tol, telemetry=True, solver=solver,
+                        n_krylov=n_krylov, final_resid=fr)       # cold
     t0 = time.perf_counter()
-    out, tel = mg_solve(mg, b, tol=tol, telemetry=True,
-                        solver=solver)                   # warm
+    out, tel = mg_solve(mg, b, tol=tol, telemetry=True, solver=solver,
+                        n_krylov=n_krylov, final_resid=fr)       # warm
     if solve_operator == "compact":
         jax.block_until_ready(out.x)     # drain solve arenas first
         d = jax.jit(lambda u: make_dirac(u, params_keep, geom))(u_keep)
@@ -113,7 +118,9 @@ def bench_mg(geom, tol: float = 1e-7, nvec: int = 24,
     return {**tel.as_dict(), "true_res": rel, "solver": f"mg-{solver}",
             "setup_secs": round(setup_secs, 2), "nvec": nvec,
             "block": list(block), "vec_dtype": vec_dtype,
-            "solve_operator": solve_operator}
+            "solve_operator": solve_operator, "n_krylov": n_krylov,
+            "step_cinv_bf16": step_cinv_bf16,
+            "resid_drop_clover": resid_drop_clover}
 
 
 def bench_compact(geom, tol: float = 1e-7, maxiter: int = 2000,

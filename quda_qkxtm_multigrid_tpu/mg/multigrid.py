@@ -100,6 +100,23 @@ class MGParams:
     # defect-correction against full precision, exactly QUDA's
     # reliable-update discipline.
     solve_operator: str = "canonical"  # "canonical" | "compact"
+    # HBM-squeeze knobs for the compact solve tiers at the north-star
+    # volume (32³×64: the step program stages its whole argument pytree
+    # — V + coarse + operands — beside its arena on this backend, r4/r5
+    # on-chip compile reports):
+    #   step_cinv_bf16: store the STEP tier's clover-inverse channels
+    #     in bf16 (−1.2 GB at 32³×64).  Inner GCR quality floors at
+    #     ~4e-3 per cycle, which the f32-resid restarts absorb as extra
+    #     restarts — never as lost accuracy (QUDA's sloppy-precision
+    #     trade, enum_quda.h:55-62).
+    #   resid_drop_clover: the RESIDUAL tier keeps only what the PC
+    #     restart programs touch (gauge + clover inverse; matpc/
+    #     prepare/reconstruct) and drops the direct clover channels
+    #     (−1.2 GB).  Requires mg_solve(final_resid=False) + an
+    #     independent final certification (bench_mg rebuilds the
+    #     canonical operator, host_dc certifies in f64).
+    step_cinv_bf16: bool = False
+    resid_drop_clover: bool = False
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -532,8 +549,13 @@ def _solve_tier_operators(dirac, params: MGParams):
     host = not interp
     d_resid = make_compact(dirac.u, dirac.params, dirac.geom, bf16=False,
                            interpret=interp, host=host)
+    if getattr(params, "resid_drop_clover", False):
+        import dataclasses as _dc
+        d_resid = _dc.replace(d_resid, cl_ch=(None, None))
     d_step = make_compact(dirac.u, dirac.params, dirac.geom, bf16=True,
-                          interpret=interp, host=host)
+                          interpret=interp, host=host,
+                          cinv_bf16=getattr(params, "step_cinv_bf16",
+                                            False))
     return d_resid, d_step
 
 
@@ -795,7 +817,7 @@ def _mr_step_sharded(mg, x, r, mesh):
 def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
              n_krylov: int = 10, max_restarts: int = 50,
              solver: str | None = None, mesh=None,
-             telemetry: bool = False):
+             telemetry: bool = False, final_resid: bool = True):
     """MG-preconditioned outer solve of M x = b.
 
     Default "gcr": restarted GCR(n_krylov) — the reference's production
@@ -858,7 +880,12 @@ def mg_solve(mg: MGPreconditioner, b, tol: float = 1e-8,
             iters += n_krylov
             r_p, r2 = _pc_resid(mg.dirac, x_p, src)
         x = _pc_reconstruct(mg.dirac, x_p, b)
-        r, r2_full = _mr_resid(mg.dirac, x, b)
+        if final_resid:
+            r, r2_full = _mr_resid(mg.dirac, x, b)
+        else:
+            # final_resid=False (resid_drop_clover tier): the caller
+            # certifies independently; report the converged PC r²
+            r2_full = r2
         res = GCRResult(x, jnp.asarray(iters), r2_full)
         if telemetry:
             from quda_qkxtm_multigrid_tpu.utils.profiling import (

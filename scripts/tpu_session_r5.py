@@ -66,12 +66,21 @@ def run_phase(phase: str) -> None:
     from quda_qkxtm_multigrid_tpu.lattice import Geometry
 
     g24 = Geometry(24, 24, 24, 48)
+    attempt = int(os.environ.get("QKXTM_ATTEMPT", "0"))
     if phase == "northstar":
         # production tier: bf16 null-vector storage + compact solve
-        # tiers (the r4 OOM-fix configuration, commits 4a1005f..5fdcaa9)
+        # tiers + the r5 HBM-squeeze knobs (the r4-fix configuration
+        # alone still OOM'd at the second restart's _pc_resid — the
+        # step program stages V + coarse + operands as arguments
+        # beside its krylov arena).  Retry attempts descend the ladder
+        # (nvec 24 -> 16) rather than repeating a failed footprint.
+        nvec, nk = (24, 5) if attempt == 0 else (16, 4)
         _append(phase, B.bench_mg(Geometry(32, 32, 32, 64),
                                   solver="gcr-pc", vec_dtype="bf16",
-                                  solve_operator="compact"))
+                                  solve_operator="compact",
+                                  nvec=nvec, n_krylov=nk,
+                                  step_cinv_bf16=True,
+                                  resid_drop_clover=True))
     elif phase == "cg48":
         _append(phase, B.bench_cg48_hostdc(Geometry(48, 48, 48, 96)))
     elif phase == "mg48":
@@ -138,7 +147,8 @@ def main() -> None:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--phase", name],
-                    timeout=timeout_s, cwd=REPO)
+                    timeout=timeout_s, cwd=REPO,
+                    env={**os.environ, "QKXTM_ATTEMPT": str(attempt)})
                 if r.returncode == 0 and _phase_done(name):
                     break
                 print(f"[{name}] rc={r.returncode}, "

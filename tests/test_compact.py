@@ -108,3 +108,37 @@ def test_make_operator_routes_compact(fields, monkeypatch):
     op2 = wf.make_operator(u, params, GEOM)
     assert not isinstance(op2, CompactDirac)
     assert wf._op_dtype(op2) == u.dtype
+
+
+@pytest.mark.slow
+def test_mg_compact_squeeze_tier(fields):
+    """The north-star HBM-squeeze configuration (MGParams
+    step_cinv_bf16 + resid_drop_clover + mg_solve(final_resid=False),
+    r5): the solve runs on the leaner tiers, the restart residuals
+    stay on the f32-gauge compact tier, and an INDEPENDENT canonical
+    certification still reaches ~1e-6 — accuracy is never paid for the
+    saved residency (QUDA sloppy-tier discipline, enum_quda.h:55-62)."""
+    from quda_qkxtm_multigrid_tpu.mg.multigrid import (
+        MGParams, setup_mg, mg_solve)
+    from quda_qkxtm_multigrid_tpu.invert import true_residual
+
+    u, _ = fields
+    geom = GEOM
+    # canonical XLA operator on CPU (the fused Pallas tier needs real
+    # hardware); the compact solve tiers run in interpret mode
+    params = DiracParams(kind="twisted-clover", kappa=0.115, mu=0.05,
+                         csw=1.0, use_pallas=False)
+    d = make_dirac(u.astype(jnp.complex64), params, geom)
+    b = rng.random_spinor(jax.random.PRNGKey(5), geom,
+                          dtype=jnp.complex64)
+    p = MGParams(block=(2, 2, 2, 2), nvec=4, setup_tol=1e-3,
+                 setup_maxiter=40, smoother_pc=True,
+                 vec_dtype="bf16", solve_operator="compact",
+                 step_cinv_bf16=True, resid_drop_clover=True)
+    mg = setup_mg(d, p, jax.random.PRNGKey(3))
+    assert mg.dirac.cl_ch == (None, None)          # resid tier lean
+    assert mg.dirac_sloppy.cinv_ch[0].dtype == jnp.bfloat16
+    out = mg_solve(mg, b, tol=1e-6, solver="gcr-pc", n_krylov=5,
+                   max_restarts=40, final_resid=False)
+    _, rel = true_residual(d, out.x, b)
+    assert float(rel) < 5e-6, float(rel)
