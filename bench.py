@@ -102,6 +102,8 @@ _SUMMARY_KEYS = (
     "xla_over_fused", "cg_secs", "cg_iters", "mg_secs", "mg_iters",
     "mg_setup_secs", "mu", "kappa", "setup_secs_generate",
     "setup_secs_load", "restarts", "inner_iters", "operand_gb",
+    "cg_true_res", "mg_true_res", "mg_beats_cg", "total_secs",
+    "speedup", "vec_file_mb", "n_krylov", "resid_secs",
 )
 
 

@@ -84,7 +84,11 @@ def run_phase(phase: str) -> None:
     elif phase == "cg48":
         _append(phase, B.bench_cg48_hostdc(Geometry(48, 48, 48, 96)))
     elif phase == "mg48":
-        _append(phase, B.bench_mg48_hostdc(Geometry(48, 48, 48, 96)))
+        # HBM ladder: nvec/krylov descend on retry (V + GCR directions
+        # are the adjustable residency at this volume)
+        nv, nk = (4, 3) if attempt == 0 else (3, 2)
+        _append(phase, B.bench_mg48_hostdc(Geometry(48, 48, 48, 96),
+                                           nvec=nv, n_krylov=nk))
     elif phase == "light":
         _append(phase, B.bench_light(g24))
     elif phase == "df64_mg":
@@ -126,23 +130,40 @@ def _phase_done(phase: str) -> bool:
 
 
 def main() -> None:
+    """Sweep the phase list until everything selected is recorded or
+    the session budget expires (QKXTM_SESSION_HOURS, default 8).  The
+    tunnel dies for stretches of tens of minutes (r4/r5 observed); a
+    single pass would burn every phase against one outage, so phases
+    that fail re-enter the next sweep instead of being abandoned."""
     sel = set(a for a in sys.argv[1:] if not a.startswith("-"))
-    for name, timeout_s, retries in PHASES:
-        if sel and name not in sel:
-            continue
-        if _phase_done(name) and "--force" not in sys.argv:
-            print(f"[{name}] already recorded, skipping", flush=True)
-            continue
-        for attempt in range(retries + 1):
+    deadline = time.time() + 3600 * float(
+        os.environ.get("QKXTM_SESSION_HOURS", "8"))
+    attempts: dict[str, int] = {}
+    sweep = 0
+    while time.time() < deadline:
+        sweep += 1
+        pending = [(n, t, r) for n, t, r in PHASES
+                   if (not sel or n in sel)
+                   and not (_phase_done(n) and "--force" not in sys.argv)
+                   and attempts.get(n, 0) < r + 1]
+        if not pending:
+            break
+        print(f"\n##### sweep {sweep}: pending = "
+              f"{[n for n, _, _ in pending]} #####", flush=True)
+        progressed = False
+        for name, timeout_s, retries in pending:
+            attempt = attempts.get(name, 0)
             print(f"\n===== {name} attempt {attempt + 1} "
                   f"[{time.strftime('%H:%M:%S')}] =====", flush=True)
             if not _backend_alive():
-                print(f"[{name}] TPU compute probe failed; waiting 300s",
+                print(f"[{name}] TPU compute probe failed; waiting 120s",
                       flush=True)
-                time.sleep(300)
+                time.sleep(120)
                 if not _backend_alive():
-                    print(f"[{name}] still dead, moving on", flush=True)
-                    break
+                    print(f"[{name}] tunnel still dead — deferring to "
+                          "next sweep", flush=True)
+                    continue       # outage: don't charge an attempt
+            attempts[name] = attempt + 1
             try:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
@@ -150,15 +171,16 @@ def main() -> None:
                     timeout=timeout_s, cwd=REPO,
                     env={**os.environ, "QKXTM_ATTEMPT": str(attempt)})
                 if r.returncode == 0 and _phase_done(name):
-                    break
+                    progressed = True
+                    continue
                 print(f"[{name}] rc={r.returncode}, "
                       f"recorded={_phase_done(name)}", flush=True)
             except subprocess.TimeoutExpired:
                 print(f"[{name}] TIMEOUT after {timeout_s}s", flush=True)
-            if attempt < retries:
-                backoff = 120 * (attempt + 1)
-                print(f"[{name}] retrying in {backoff}s", flush=True)
-                time.sleep(backoff)
+        if not progressed:
+            print(f"[sweep {sweep}] no progress; sleeping 600s",
+                  flush=True)
+            time.sleep(600)
     print("\nsession r5: DONE", flush=True)
 
 
