@@ -46,17 +46,25 @@ def test_host_residual_matches_oracle(u_np, b_np):
     np.testing.assert_allclose(r, b_np, rtol=0, atol=0)
 
 
-def test_host_dc_compact_cg_reaches_f64_depth(u_np, b_np):
+def test_host_dc_compact_cg_reaches_f64_depth():
     """bf16-gauge inner CG + f64 host outer: the true residual must
     pass BELOW the bf16 operator-consistency floor (~1e-3) and the c64
-    matvec floor (~3e-8) — the whole point of the architecture."""
+    matvec floor (~3e-8) — the whole point of the architecture.
+    Own small geometry (interpret-mode kernels price each restart in
+    Python time — r5 smoke diet)."""
+    from quda_qkxtm_multigrid_tpu import fields
     from quda_qkxtm_multigrid_tpu.compact import make_compact
     from quda_qkxtm_multigrid_tpu.solvers.host_dc import (
         make_host_residual, invert_host_dc, device_inner_compact)
 
-    cd = make_compact(jnp.asarray(u_np), PARAMS, GEOM, bf16=True,
+    geom = Geometry(8, 4, 4, 8)
+    u_np = np.asarray(rng.random_gauge(jax.random.PRNGKey(7), geom,
+                                       dtype=jnp.complex64))
+    b_np = np.asarray(fields.point_source(geom, (0, 0, 0, 0), 0, 0,
+                                          dtype=jnp.complex128))
+    cd = make_compact(jnp.asarray(u_np), PARAMS, geom, bf16=True,
                       cinv_bf16=True, interpret=True)
-    resid = make_host_residual(u_np, PARAMS, GEOM)
+    resid = make_host_residual(u_np, PARAMS, geom)
     out = invert_host_dc(resid, device_inner_compact(cd, tol=1e-5,
                                                      maxiter=400),
                          b_np, tol=1e-9, max_restarts=10)

@@ -248,6 +248,7 @@ def test_msrc_slab_matches_msrc(fields):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_recon8_roundtrip(fields):
     """gauge_channels recon-8 encoding + in-kernel _mat8 decode matches
     the recon-12 kernel to f32 roundoff (closed-form derivation check,
@@ -384,6 +385,7 @@ def test_fused_matpc_dagm(fields, kind, mu, csw):
     assert rel < 2e-5, rel
 
 
+@pytest.mark.slow
 def test_zb_blocked_plane_kernel_matches_full_z():
     """Z-blocked per-plane kernel (grid (T, Z//zb) + 8-row z-halo
     operands — the VMEM gate for huge planes, 48³×96 measured 121.7 MB

@@ -155,10 +155,13 @@ def _stub_lanczos(monkeypatch, applies):
     monkeypatch.setattr(_eig, "lanczos", fake_lanczos)
 
 
+@pytest.mark.slow
 def test_run_loops_wexact_routes_smoke(force_compact, monkeypatch):
-    """Smoke tier of the wexact routing guard: make_operator must
-    return CompactDirac above the (patched) HBM gate; the Lanczos is
-    stubbed to a single adapter matvec (see _stub_lanczos)."""
+    """Routing guard for wexact through the compact gate.  Slow tier
+    (r5 smoke diet): even with the Lanczos stubbed, the interpret-mode
+    loops contraction runs ~200 s in pure Python — and the routing
+    assertion is equally covered by the slow production-factory twin
+    below plus test_run_loops_routes_compact (smoke)."""
     from quda_qkxtm_multigrid_tpu.compact import CompactDirac
     seen, applies = [], []
     _stub_lanczos(monkeypatch, applies)
