@@ -97,11 +97,15 @@ def bench_mg(geom, tol: float = 1e-7, nvec: int = 24,
 
     if solve_operator == "compact":
         # the compact tiers replace the canonical bundle for the whole
-        # solve — free it (4.2 GB at 32³×64) and REBUILD from u for the
-        # independent final certification (reference sloppy-resident
-        # gauge discipline, interface_quda.cpp:1039)
-        from quda_qkxtm_multigrid_tpu.dirac import make_dirac
-        u_keep, params_keep = d.u, d.params
+        # solve — free it (4.2 GB at 32³×64) and certify on the HOST:
+        # r4's northstar attempt rebuilt the canonical bundle ON-CHIP
+        # beside the resident MG preconditioner for the final residual
+        # and died RESOURCE_EXHAUSTED at the fetch (VERDICT r4 missing
+        # #1); the host-c128 canonical residual (solvers/host_dc.py)
+        # costs zero device HBM and certifies DEEPER than the on-chip
+        # c64 program could.
+        from quda_qkxtm_multigrid_tpu.utils.checkpoint import fetch_complex
+        u_np, params_keep = fetch_complex(d.u), d.params
         d = None
 
     fr = not resid_drop_clover
@@ -111,10 +115,16 @@ def bench_mg(geom, tol: float = 1e-7, nvec: int = 24,
     out, tel = mg_solve(mg, b, tol=tol, telemetry=True, solver=solver,
                         n_krylov=n_krylov, final_resid=fr)       # warm
     if solve_operator == "compact":
+        from quda_qkxtm_multigrid_tpu.solvers.host_dc import (
+            make_host_residual)
         jax.block_until_ready(out.x)     # drain solve arenas first
-        d = jax.jit(lambda u: make_dirac(u, params_keep, geom))(u_keep)
-    _, rel = true_residual(d, out.x, b)
-    rel = float(rel)
+        resid = make_host_residual(u_np, params_keep, geom)
+        x_np = fetch_complex(out.x).astype("complex128")
+        b_np = fetch_complex(b).astype("complex128")
+        _, rel = resid(x_np, b_np)
+    else:
+        _, rel = true_residual(d, out.x, b)
+        rel = float(rel)
     return {**tel.as_dict(), "true_res": rel, "solver": f"mg-{solver}",
             "setup_secs": round(setup_secs, 2), "nvec": nvec,
             "block": list(block), "vec_dtype": vec_dtype,

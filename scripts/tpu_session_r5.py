@@ -72,9 +72,11 @@ def run_phase(phase: str) -> None:
         # tiers + the r5 HBM-squeeze knobs (the r4-fix configuration
         # alone still OOM'd at the second restart's _pc_resid — the
         # step program stages V + coarse + operands as arguments
-        # beside its krylov arena).  Retry attempts descend the ladder
-        # (nvec 24 -> 16) rather than repeating a failed footprint.
-        nvec, nk = (24, 5) if attempt == 0 else (16, 4)
+        # beside its krylov arena).  Attempt 1 OOM'd this round at the
+        # CERTIFICATION (on-chip canonical rebuild beside the resident
+        # MG); bench_mg now certifies on the host (zero device HBM), so
+        # attempt 2 retries the flagship nvec=24 before descending.
+        nvec, nk = (24, 5) if attempt <= 1 else (16, 4)
         _append(phase, B.bench_mg(Geometry(32, 32, 32, 64),
                                   solver="gcr-pc", vec_dtype="bf16",
                                   solve_operator="compact",
