@@ -30,14 +30,17 @@ RESULTS = os.path.join(REPO, "BENCH_SESSION.jsonl")
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-# (name, timeout_s, retries)
+# (name, timeout_s, retries) — value-ordered, CHEAP before LONG: the
+# north star and the three <=1.5 h phases must not queue behind the
+# 3 h mg48 attempt (greedy scheduling maximises recorded phases if the
+# tunnel dies mid-session).
 PHASES = [
     ("northstar", 4800, 2),
-    ("cg48", 7200, 1),
-    ("mg48", 10800, 1),
     ("light", 6000, 1),
     ("df64_mg", 4800, 1),
     ("mg24_vecs", 4800, 1),
+    ("cg48", 7200, 1),
+    ("mg48", 10800, 1),
 ]
 
 
