@@ -101,6 +101,7 @@ def invert_host_dc(resid_fn: Callable, inner_fn: Callable,
     restarts = 0
     t_res = t_in = 0.0
     rel = float("inf")
+    stalls = 0
     for _ in range(max_restarts):
         t0 = time.perf_counter()
         r, rel = resid_fn(x, b_np)
@@ -108,10 +109,27 @@ def invert_host_dc(resid_fn: Callable, inner_fn: Callable,
         hist.append(rel)
         if rel < tol:
             break
+        # unattended-session guards: a NaN/Inf correction from a
+        # diverged inner tier would poison x for every remaining
+        # restart, and a stalled contraction (rel not improving ~10%
+        # per restart, twice running) means the inner tier has hit its
+        # consistency floor — either way stop and return the honest
+        # partial result instead of burning the phase's wall-clock
+        # (the reference's reliable-update breakdown handling,
+        # inv_cg_quda.cpp reliable-delta guards, serves the same role).
+        if len(hist) >= 2 and rel > 0.9 * hist[-2]:
+            stalls += 1
+            if stalls >= 2:
+                break
+        else:
+            stalls = 0
         t0 = time.perf_counter()
         e, iters = inner_fn(r)
         t_in += time.perf_counter() - t0
-        x += np.asarray(e, dtype=x.dtype)
+        e = np.asarray(e, dtype=x.dtype)
+        if not np.all(np.isfinite(e)):
+            break
+        x += e
         inner_total += int(iters)
         restarts += 1
     else:
