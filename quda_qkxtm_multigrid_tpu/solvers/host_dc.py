@@ -157,10 +157,10 @@ def device_inner_compact(cd, tol: float = 1e-6, maxiter: int = 600):
     def inner(r_np: np.ndarray):
         r_dev = upload_complex(r_np.astype(np.complex64), jnp.complex64)
         out = invert_compact_full(cd, r_dev, tol=tol, maxiter=maxiter)
+        iters = int(out.iters)       # also drains the solve's programs
+        r_dev.delete()               # free the RHS BEFORE the x fetch
         e = fetch_complex(out.x).astype(np.complex128)
-        iters = int(out.iters)
-        for a in jax.tree_util.tree_leaves((r_dev, out.x)):
-            a.delete()
+        out.x.delete()
         return e, iters
 
     return inner
@@ -181,10 +181,10 @@ def device_inner_mg(mg, tol: float = 1e-5, solver: str = "gcr-pc",
         r_dev = upload_complex(r_np.astype(np.complex64), jnp.complex64)
         out = mg_solve(mg, r_dev, tol=tol, solver=solver,
                        max_restarts=max_restarts, n_krylov=n_krylov)
+        iters = int(out.iters)       # also drains the solve's programs
+        r_dev.delete()               # free the RHS BEFORE the x fetch
         e = fetch_complex(out.x).astype(np.complex128)
-        iters = int(out.iters)
-        for a in jax.tree_util.tree_leaves((r_dev, out.x)):
-            a.delete()
+        out.x.delete()
         return e, iters
 
     return inner

@@ -23,11 +23,20 @@ def load_null_vectors(path: str):
 def fetch_complex(x) -> np.ndarray:
     """Device complex array → host numpy.  Complex d2h fetch raises
     UNIMPLEMENTED on the axon TPU backend (utils/backend_quirks.py):
-    fetch (re, im) through a jit program and recombine on host."""
+    fetch re and im through jit programs and recombine on host.  The
+    two planes are fetched by SEPARATE programs, each deleted before
+    the next allocates — at 48³×96 the paired-output form held both
+    f32 planes plus program temps beside the resident solve tier and
+    tipped the HBM edge (cg48 RESOURCE_EXHAUSTED at this fetch, r5)."""
     import jax
     import jax.numpy as jnp
-    re, im = jax.jit(lambda v: (jnp.real(v), jnp.imag(v)))(x)
-    return np.asarray(re) + 1j * np.asarray(im)
+    re_d = jax.jit(jnp.real)(x)
+    re = np.asarray(re_d)
+    re_d.delete()
+    im_d = jax.jit(jnp.imag)(x)
+    im = np.asarray(im_d)
+    im_d.delete()
+    return re + 1j * im
 
 
 def upload_complex(a: np.ndarray, dtype):
