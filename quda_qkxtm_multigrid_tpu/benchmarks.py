@@ -554,6 +554,16 @@ def bench_mg_vecs(geom, nvec: int = 24,
             "solver": "mg-gcr-pc (vec_outfile/vec_infile)"}
 
 
+def _hostclover_cache(geom, params) -> str:
+    """Disk-cache key for the host-c128 clover term: the 48³×96 session
+    phases certify over the SAME deterministic gauge (_host_gauge_source
+    PRNGKey(7)) and the single-core Fμν build is tens of minutes — one
+    build serves cg48, mg48, and every retry attempt."""
+    d = "x".join(str(s) for s in geom.dims)
+    return (f"/tmp/qkxtm_hostclover_{d}_k{params.kappa}"
+            f"_c{params.csw}_seed7.npy")
+
+
 def _host_gauge_source(geom, dtype=jnp.complex64):
     """Gauge + point source built on the host CPU backend (the 48³×96
     tier: device construction would stage multi-GB c64 intermediates)."""
@@ -590,7 +600,8 @@ def bench_cg48_hostdc(geom, inner_tol: float = 1e-6,
     jax.block_until_ready(cd.g_ch)
     build_secs = time.time() - t0
     t0 = time.time()
-    resid = make_host_residual(u_np, params, geom)
+    resid = make_host_residual(u_np, params, geom,
+                               cache_path=_hostclover_cache(geom, params))
     resid_build_secs = time.time() - t0
     out = invert_host_dc(resid, device_inner_compact(
         cd, tol=inner_tol, maxiter=600), b_np, tol=tol)
@@ -632,7 +643,8 @@ def bench_mg48_hostdc(geom, nvec: int = 4, n_krylov: int = 3,
     mg, cd, timings = setup_mg_hbm(u_np, params, geom, mgp,
                                    jax.random.PRNGKey(3), verbose=True)
     setup_secs = time.time() - t0
-    resid = make_host_residual(u_np, params, geom)
+    resid = make_host_residual(u_np, params, geom,
+                               cache_path=_hostclover_cache(geom, params))
     t0 = time.time()
     out = invert_host_dc(
         resid, device_inner_mg(mg, tol=inner_tol, max_restarts=4,

@@ -52,24 +52,40 @@ def _cpu():
     return jax.devices("cpu")[0]
 
 
-def make_host_residual(u_host, params, geom, dtype=jnp.complex128):
+def make_host_residual(u_host, params, geom, dtype=jnp.complex128,
+                       cache_path: str | None = None):
     """Build the canonical residual evaluator on the CPU backend.
 
     Returns ``resid(x_np, b_np) -> (r_np, rel)`` with everything in
     host numpy c128; the Dirac bundle is built once (clover from Fμν)
     and kept lean — m() needs neither the clover inverse nor the
     doubled gauge (dirac.py:469-473), so those are dropped from the
-    bundle (~18 GB saved at 48³×96 in c128)."""
+    bundle (~18 GB saved at 48³×96 in c128).
+
+    ``cache_path``: optional .npy file caching the c128 clover term —
+    the single-core Fμν build is tens of minutes at 48³×96 and the
+    session benches rebuild it per phase/attempt over the SAME
+    deterministic gauge; the caller owns keying the path by
+    (geom, kappa, csw, gauge seed)."""
     import dataclasses
-    from quda_qkxtm_multigrid_tpu.dirac import make_dirac
+    import os
+    from quda_qkxtm_multigrid_tpu.dirac import Dirac, make_dirac
 
     cpu = _cpu()
     p = dataclasses.replace(params, use_pallas=False)
     u_cpu = jax.device_put(np.asarray(u_host).astype(
         np.dtype(jnp.dtype(dtype).name)), cpu)
     with jax.default_device(cpu):
-        d = jax.jit(lambda u: make_dirac(u, p, geom))(u_cpu)
-        d = dataclasses.replace(d, clover_inv=None, u_doubled=None)
+        if (cache_path and p.has_clover
+                and os.path.exists(cache_path)):
+            clov = jax.device_put(np.load(cache_path), cpu)
+            d = Dirac(u=u_cpu, params=p, geom=geom, clover=clov,
+                      clover_inv=None, u_doubled=None)
+        else:
+            d = jax.jit(lambda u: make_dirac(u, p, geom))(u_cpu)
+            d = dataclasses.replace(d, clover_inv=None, u_doubled=None)
+            if cache_path and d.clover is not None:
+                np.save(cache_path, np.asarray(d.clover))
         jax.block_until_ready(d.clover if d.clover is not None else d.u)
 
         resid_prog = jax.jit(lambda d, x, b: (lambda r: (
