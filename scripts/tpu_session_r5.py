@@ -111,9 +111,17 @@ def _backend_alive(timeout_s: int = 240) -> bool:
     try:
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax, jax.numpy as jnp\n"
-             "y = jax.jit(lambda x: (x @ x).sum())(jnp.ones((128, 128)))\n"
-             "print('ALIVE' if float(y) == 2097152.0 else 'BAD')"],
+             # a REALISTIC probe: the old 128x128 matmul passed while
+             # light's first 16^3x32 solve program then died
+             # FAILED_PRECONDITION (r5, 23:24) — the half-alive mode
+             # admits small programs; probe with a field-sized
+             # fori_loop + fetch instead
+             "import jax, jax.numpy as jnp, math\n"
+             "f = jax.jit(lambda x: jax.lax.fori_loop(\n"
+             "    0, 8, lambda i, v: jnp.roll(v * 1.000001, 1, 2),"
+             " x).sum())\n"
+             "y = f(jnp.ones((16, 24, 16, 128), jnp.float32))\n"
+             "print('ALIVE' if math.isfinite(float(y)) else 'BAD')"],
             capture_output=True, text=True, timeout=timeout_s)
         out = r.stdout.strip().splitlines()
         return bool(out) and out[-1] == "ALIVE"
@@ -177,11 +185,14 @@ def main() -> None:
                     env={**os.environ, "QKXTM_ATTEMPT": str(attempt)})
                 if r.returncode == 0 and _phase_done(name):
                     progressed = True
+                    time.sleep(60)   # tunnel settle after heavy phases
                     continue
                 print(f"[{name}] rc={r.returncode}, "
                       f"recorded={_phase_done(name)}", flush=True)
+                time.sleep(180)      # longer settle after a failure
             except subprocess.TimeoutExpired:
                 print(f"[{name}] TIMEOUT after {timeout_s}s", flush=True)
+                time.sleep(180)
         if not progressed:
             print(f"[sweep {sweep}] no progress; sleeping 600s",
                   flush=True)

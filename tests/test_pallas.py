@@ -12,7 +12,7 @@ from quda_qkxtm_multigrid_tpu.ops.dslash_pallas import dslash_parity_pallas
 from quda_qkxtm_multigrid_tpu.ops.dslash_pallas2 import dslash_parity_pallas2
 from quda_qkxtm_multigrid_tpu.utils import rng
 
-GEOM = Geometry(8, 4, 4, 8)
+GEOM = Geometry(8, 4, 4, 4)  # T=4 = 2 slabs at tb=2: halo boundary cases still crossed; interpret cost ~halved (smoke diet r5)
 
 
 @pytest.fixture(scope="module")
@@ -21,6 +21,20 @@ def fields():
     u = rng.random_gauge(k1, GEOM, dtype=jnp.complex64)
     psi = rng.random_spinor(k2, GEOM, dtype=jnp.complex64)
     return u, dsl.double_gauge(u, GEOM), psi
+
+
+# T=8 variant for the t-SHARDED shmap tests only: a (4,1,1) grid needs
+# local T >= 2 (halo plane < local volume); everything single-device
+# runs at the T=4 diet geometry above.
+GEOM_T8 = Geometry(8, 4, 4, 8)
+
+
+@pytest.fixture(scope="module")
+def fields_t8():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    u = rng.random_gauge(k1, GEOM_T8, dtype=jnp.complex64)
+    psi = rng.random_spinor(k2, GEOM_T8, dtype=jnp.complex64)
+    return u, dsl.double_gauge(u, GEOM_T8), psi
 
 
 @pytest.mark.parametrize("parity,dagger", [
@@ -143,16 +157,16 @@ def test_fused_clover_matpc(fields, kind, mu, dagger):
 
 
 @pytest.mark.parametrize("grid", [(2, 1, 1), (4, 1, 1)])
-def test_v5_shmap_matches_xla(fields, grid):
+def test_v5_shmap_matches_xla(fields_t8, grid):
     """Multi-chip v5 on a virtual CPU mesh: the single ppermute pair of
     t-faces must reproduce the single-device XLA result."""
     from quda_qkxtm_multigrid_tpu.ops.dslash_pallas5 import (
         dslash_parity_pallas5_shmap)
     from quda_qkxtm_multigrid_tpu.parallel import make_lattice_mesh
-    u, ud, psi = fields
+    u, ud, psi = fields_t8
     mesh = make_lattice_mesh(grid)
-    ref = dsl.dslash_parity(u, psi[1], 0, GEOM)
-    got = dslash_parity_pallas5_shmap(ud, psi[1], 0, GEOM, mesh,
+    ref = dsl.dslash_parity(u, psi[1], 0, GEOM_T8)
+    got = dslash_parity_pallas5_shmap(ud, psi[1], 0, GEOM_T8, mesh,
                                       interpret=True, recon12=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
@@ -330,7 +344,7 @@ def test_v5_overlap_matches_full(fields, epilogue, project):
     pytest.param("twisted-clover", True, (2, 1, 1),
                  marks=pytest.mark.slow),
 ])
-def test_fused_matpc_shmap(fields, kind, overlap, grid):
+def test_fused_matpc_shmap(fields_t8, kind, overlap, grid):
     """Multi-chip fused matpc (whole Schur chain inside one shard_map,
     two t-face ppermute pairs per application) bit-matches the XLA
     matpc on a virtual 2-chip mesh.  overlap=True exercises the
@@ -341,11 +355,11 @@ def test_fused_matpc_shmap(fields, kind, overlap, grid):
     from quda_qkxtm_multigrid_tpu.dirac import DiracParams, make_dirac
     from quda_qkxtm_multigrid_tpu.parallel import make_lattice_mesh
     import dataclasses as _dc
-    u, ud, psi = fields
+    u, ud, psi = fields_t8
     d = make_dirac(u.astype(jnp.complex64),
                    DiracParams(kind=kind, kappa=0.115, mu=0.05,
                                csw=1.0 if kind == "twisted-clover" else 0.0),
-                   GEOM)
+                   GEOM_T8)
     d_f = _dc.replace(d, u_doubled=ud,
                       params=_dc.replace(d.params, use_pallas=True))
     mesh = make_lattice_mesh(grid)
