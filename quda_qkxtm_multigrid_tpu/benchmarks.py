@@ -457,8 +457,12 @@ def bench_light(geom, mu: float = 0.003, tol: float = 1e-7,
     float(out.true_res)
     t0 = time.perf_counter()
     out = solve(d, b)
+    cg_res = float(out.true_res)   # BLOCKING fetch inside the timed
+    # window — without it the async dispatch returns in ~1 ms and the
+    # record carries dispatch time, not solve time (r5 light record 1,
+    # cg_secs=0.001, superseded by the re-run)
     cg_secs = time.perf_counter() - t0
-    cg_iters, cg_res = int(out.iters), float(out.true_res)
+    cg_iters = int(out.iters)
 
     p = MGParams(block=(4, 4, 4, 4), nvec=24, smoother_pc=True,
                  outer_solver="gcr-pc")
