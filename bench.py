@@ -103,6 +103,7 @@ _SUMMARY_KEYS = (
     "mg_setup_secs", "mu", "kappa", "setup_secs_generate",
     "setup_secs_load", "restarts", "inner_iters", "operand_gb",
     "cg_true_res", "mg_true_res", "mg_beats_cg", "total_secs",
+    "mg_dmu_secs", "mg_dmu_iters", "mg_dmu_true_res", "mg_dmu_setup_secs",
     "speedup", "vec_file_mb", "n_krylov", "resid_secs",
 )
 

@@ -464,27 +464,44 @@ def bench_light(geom, mu: float = 0.003, tol: float = 1e-7,
     cg_secs = time.perf_counter() - t0
     cg_iters = int(out.iters)
 
-    p = MGParams(block=(4, 4, 4, 4), nvec=24, smoother_pc=True,
-                 outer_solver="gcr-pc")
-    t0 = time.perf_counter()
-    mg = setup_mg(d, p, jax.random.PRNGKey(3))
-    jax.block_until_ready(mg.coarse.x)
-    setup_secs = time.perf_counter() - t0
-    o, tel = mg_solve(mg, b, tol=tol, telemetry=True, solver="gcr-pc")
-    t0 = time.perf_counter()
-    o, tel = mg_solve(mg, b, tol=tol, telemetry=True, solver="gcr-pc")
-    mg_secs = time.perf_counter() - t0
-    _, rel = true_residual(d, o.x, b)
+    def run_mg(p, tag):
+        t0 = time.perf_counter()
+        mg = setup_mg(d, p, jax.random.PRNGKey(3))
+        jax.block_until_ready(mg.coarse.x)
+        setup_secs = time.perf_counter() - t0
+        o, tel = mg_solve(mg, b, tol=tol, telemetry=True,
+                          solver="gcr-pc")
+        t0 = time.perf_counter()
+        o, tel = mg_solve(mg, b, tol=tol, telemetry=True,
+                          solver="gcr-pc")
+        mg_secs = time.perf_counter() - t0
+        _, rel = true_residual(d, o.x, b)
+        for a in jax.tree_util.tree_leaves((mg.transfer.v, mg.coarse)):
+            if a is not None:
+                a.delete()
+        return {f"{tag}setup_secs": round(setup_secs, 1),
+                f"{tag}secs": round(mg_secs, 3),
+                f"{tag}iters": int(o.iters),
+                f"{tag}true_res": float(rel)}
+
+    m1 = run_mg(MGParams(block=(4, 4, 4, 4), nvec=24, smoother_pc=True,
+                         outer_solver="gcr-pc"), "mg_")
+    # the ETMC light-mass production knob (quda.h:401-407 delta_mu*,
+    # threaded in CalcMG_2pt3pt_EvenOdd.cpp:360-363): over-twist the
+    # COARSE operator so its near-singular low modes are regulated —
+    # the documented cure for exactly the restart-cap behaviour the
+    # plain config shows at this kappa on a random gauge
+    m2 = run_mg(MGParams(block=(4, 4, 4, 4), nvec=24, smoother_pc=True,
+                         outer_solver="gcr-pc", delta_mu_coarse=8.0,
+                         setup_tol=1e-6), "mg_dmu_")
+    mg_secs = min(m1["mg_secs"], m2["mg_dmu_secs"])
     return {"geom": list(geom.dims), "kappa": kappa_l, "mu": mu,
             "probe_ladder": ladder,
             "cg_secs": round(cg_secs, 3), "cg_iters": cg_iters,
-            "cg_true_res": cg_res,
-            "mg_setup_secs": round(setup_secs, 1),
-            "mg_secs": round(mg_secs, 3), "mg_iters": int(o.iters),
-            "mg_true_res": float(rel),
+            "cg_true_res": cg_res, **m1, **m2,
             "mg_beats_cg": bool(mg_secs < cg_secs),
-            "amortise_solves": (round(setup_secs / max(cg_secs - mg_secs,
-                                                       1e-9), 1)
+            "amortise_solves": (round(m1["mg_setup_secs"]
+                                      / max(cg_secs - mg_secs, 1e-9), 1)
                                 if mg_secs < cg_secs else None),
             "solver": "cg-fused vs mg-gcr-pc (light mass)"}
 
