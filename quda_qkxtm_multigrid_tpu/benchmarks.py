@@ -506,6 +506,62 @@ def bench_light(geom, mu: float = 0.003, tol: float = 1e-7,
             "solver": "cg-fused vs mg-gcr-pc (light mass)"}
 
 
+def bench_light2(geom, kappa: float = 0.21, mu: float = 0.003,
+                 tol: float = 1e-7, cg_maxiter: int = 6000) -> dict:
+    """Light-mass mini re-measure (supersedes the r5 'light' record's
+    cg_secs=0.001 async-dispatch artifact): the honest warm CG
+    wall-clock at the probed kappa plus the ETMC delta-mu-coarse MG
+    config (quda.h:401-407) on the same operator — small enough to fit
+    a 48^3-phase host-build window without touching its device peak."""
+    from quda_qkxtm_multigrid_tpu.dirac import DiracParams, make_dirac
+    from quda_qkxtm_multigrid_tpu.invert import invert, true_residual
+    from quda_qkxtm_multigrid_tpu.mg.multigrid import (
+        MGParams, setup_mg, mg_solve)
+    from quda_qkxtm_multigrid_tpu.utils import rng
+    from quda_qkxtm_multigrid_tpu import fields
+
+    on_tpu = jax.default_backend() == "tpu"
+    p = DiracParams(kind="twisted-clover", kappa=kappa, mu=mu,
+                    csw=1.0, use_pallas=on_tpu)
+    k1, _ = jax.random.split(jax.random.PRNGKey(7))
+    u = jax.jit(lambda k: rng.random_gauge(
+        k, geom, dtype=jnp.complex64))(k1)
+    d = jax.jit(lambda u: make_dirac(u, p, geom))(u)
+    b = jax.jit(lambda: fields.point_source(geom, (0, 0, 0, 0), 0, 0,
+                                            dtype=jnp.complex64))()
+    solve = jax.jit(lambda d, b: invert(d, b, tol=tol,
+                                        maxiter=cg_maxiter))
+    out = solve(d, b)                              # cold (compiles)
+    float(out.true_res)
+    t0 = time.perf_counter()
+    out = solve(d, b)
+    cg_res = float(out.true_res)                   # blocks in-window
+    cg_secs = time.perf_counter() - t0
+    cg_iters = int(out.iters)
+
+    mgp = MGParams(block=(4, 4, 4, 4), nvec=24, smoother_pc=True,
+                   outer_solver="gcr-pc", delta_mu_coarse=8.0,
+                   setup_tol=1e-6)
+    t0 = time.perf_counter()
+    mg = setup_mg(d, mgp, jax.random.PRNGKey(3))
+    jax.block_until_ready(mg.coarse.x)
+    setup_secs = time.perf_counter() - t0
+    o, tel = mg_solve(mg, b, tol=tol, telemetry=True, solver="gcr-pc")
+    t0 = time.perf_counter()
+    o, tel = mg_solve(mg, b, tol=tol, telemetry=True, solver="gcr-pc")
+    mg_secs = time.perf_counter() - t0
+    _, rel = true_residual(d, o.x, b)
+    return {"geom": list(geom.dims), "kappa": kappa, "mu": mu,
+            "cg_secs": round(cg_secs, 3), "cg_iters": cg_iters,
+            "cg_true_res": cg_res,
+            "mg_dmu_setup_secs": round(setup_secs, 1),
+            "mg_dmu_secs": round(mg_secs, 3),
+            "mg_dmu_iters": int(o.iters),
+            "mg_dmu_true_res": float(rel),
+            "mg_beats_cg": bool(mg_secs < cg_secs),
+            "solver": "cg-fused vs mg-gcr-pc-dmu (light mass re-measure)"}
+
+
 def bench_df64_mg(geom, tol: float = 1e-10, inner_tol: float = 1e-7,
                   nvec: int = 24) -> dict:
     """The production chain at reference depth (VERDICT r4 missing #4):

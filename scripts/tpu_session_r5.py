@@ -37,6 +37,7 @@ if REPO not in sys.path:
 PHASES = [
     ("northstar", 4800, 2),
     ("light", 6000, 1),
+    ("light2", 2400, 1),
     ("df64_mg", 4800, 1),
     ("mg24_vecs", 4800, 1),
     ("cg48", 7200, 1),
@@ -96,6 +97,8 @@ def run_phase(phase: str) -> None:
                                            nvec=nv, n_krylov=nk))
     elif phase == "light":
         _append(phase, B.bench_light(g24))
+    elif phase == "light2":
+        _append(phase, B.bench_light2(g24))
     elif phase == "df64_mg":
         _append(phase, B.bench_df64_mg(g24))
     elif phase == "mg24_vecs":
