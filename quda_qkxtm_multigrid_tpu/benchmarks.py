@@ -696,7 +696,8 @@ def bench_cg48_hostdc(geom, inner_tol: float = 1e-6,
 def bench_mg48_hostdc(geom, nvec: int = 4, n_krylov: int = 3,
                       inner_tol: float = 5e-3, tol: float = 1e-8,
                       setup_tol: float = 1e-3,
-                      setup_maxiter: int = 60) -> dict:
+                      setup_maxiter: int = 60,
+                      inner_solver: str = "gcr-pc") -> dict:
     """The BASELINE.md 48³×96 MG-GCR target on ONE chip (VERDICT r4
     missing #2): HBM-gated setup (mg/hbm_setup.py — device-tier null
     vectors, host CholQR², host canonical coarse build) + compact-tier
@@ -725,7 +726,7 @@ def bench_mg48_hostdc(geom, nvec: int = 4, n_krylov: int = 3,
     t0 = time.time()
     out = invert_host_dc(
         resid, device_inner_mg(mg, tol=inner_tol, max_restarts=4,
-                               n_krylov=n_krylov),
+                               n_krylov=n_krylov, solver=inner_solver),
         b_np, tol=tol, max_restarts=12)
     total_secs = time.time() - t0
     return {"geom": list(geom.dims), "nvec": nvec,
@@ -736,4 +737,4 @@ def bench_mg48_hostdc(geom, nvec: int = 4, n_krylov: int = 3,
             "secs": out.inner_secs, "resid_secs": out.resid_secs,
             "total_secs": round(total_secs, 1),
             "history": list(out.history),
-            "solver": "mg-gcr-pc-compact-bf16 + host-c128 outer"}
+            "solver": f"mg-{inner_solver}-compact-bf16 + host-c128 outer"}

@@ -90,11 +90,20 @@ def run_phase(phase: str) -> None:
     elif phase == "cg48":
         _append(phase, B.bench_cg48_hostdc(Geometry(48, 48, 48, 96)))
     elif phase == "mg48":
-        # HBM ladder: nvec/krylov descend on retry (V + GCR directions
-        # are the adjustable residency at this volume)
-        nv, nk = (4, 3) if attempt == 0 else (3, 2)
+        # HBM ladder.  Attempt 1 (nvec=4, nk=3, gcr-pc) compile-OOM'd
+        # at the V-cycle step: 20.71G needed vs 15.75G (args 10.62G =
+        # compact 7.6G + V 1.9G + fields; temps 10.09G with 38%
+        # fragmentation incl. a 972M layout copy of V).  A (3,2)
+        # descent closes ~2G of a 5G gap, so attempt 2 goes straight
+        # to the minimum-footprint inner: nvec=2 (V 0.97G, coarse 4x
+        # smaller) + MR-Richardson (NO GCR direction storage).
+        if attempt == 0:
+            nv, nk, sol = 4, 3, "gcr-pc"
+        else:
+            nv, nk, sol = 2, 2, "mr-richardson"
         _append(phase, B.bench_mg48_hostdc(Geometry(48, 48, 48, 96),
-                                           nvec=nv, n_krylov=nk))
+                                           nvec=nv, n_krylov=nk,
+                                           inner_solver=sol))
     elif phase == "light":
         _append(phase, B.bench_light(g24))
     elif phase == "light2":
